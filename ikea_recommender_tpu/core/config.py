@@ -1,0 +1,214 @@
+"""Typed experiment configuration.
+
+The reference drives experiments from YAML files with four sections
+(``experiment`` / ``data`` / ``train`` / ``metrics``) that scripts manually
+unpack into ~30 keyword arguments (reference:
+``recommenders/utils/load_config.py:10-32``,
+``scripts/paper/smorl_gru_train.py:22-101``,
+``experiments/IKEA/final_experiments/SMORL-paper.yaml:1-54``).
+
+Here the same schema is a set of dataclasses with defaults matching the
+reference's canonical operating points, plus explicit "quirk compatibility"
+flags for each latent reference bug documented in SURVEY.md §2 — correct
+behavior by default, reference behavior opt-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+
+@dataclass
+class ExperimentConfig:
+    """Experiment metadata (reference YAML section ``experiment``)."""
+
+    exp_class: str = "default"
+    exp_name: str = "experiment"
+    desc: str = ""
+    use_wandb: bool = False
+    use_tensorboard: bool = False
+    tensorboard_root: str = "tensorboard"
+    seed: int = 118
+    # Reference keeps two RNG seeds (torch + python); we fold both into one
+    # JAX key but keep the fields for config-file compatibility.
+    seed_torch: Optional[int] = None
+    seed_python: Optional[int] = None
+    save_pretrained_embeddings: bool = False
+
+
+@dataclass
+class DataConfig:
+    """Data paths and vocabulary sizes (reference YAML section ``data``)."""
+
+    train_path: str = ""
+    val_path: str = ""
+    test_path: str = ""
+    # Input vocabulary size (items; the embedding table has num_items + 1 rows
+    # with the extra row used for padding — reference
+    # ``models/GRU4Rec/model.py:30-39``).
+    num_items: int = 0
+    # Output head size. Distinct from num_items in the IKEA dual-tokenizer
+    # setup (reference ``ikea/training/trainGRU.py:27-28``); defaults to
+    # num_items when 0.
+    num_actions: int = 0
+    input_tokenizer: Optional[str] = None
+    output_tokenizer: Optional[str] = None
+    market_tokenizer: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.num_actions == 0:
+            self.num_actions = self.num_items
+
+
+@dataclass
+class TrainConfig:
+    """Model + optimization hyperparameters (reference YAML section ``train``)."""
+
+    model: str = "gru4rec"  # gru4rec | bidir_gru4rec | sqn | smorl | sarm
+    batch_size: int = 256
+    val_batch_size: int = 2000
+    epochs: int = 30
+    learning_rate: float = 0.01
+    embedding_size: int = 64
+    hidden_state_size: int = 64
+    gru_layers: int = 1
+    dropout: float = 0.0  # BidirGRU4Rec only
+    gamma: float = 0.5
+    alpha: float = 1.0
+    q_weights: List[float] = field(default_factory=lambda: [1.0, 1.0, 1.0])
+    state_size: int = 10
+    padding_position: str = "end"  # "end" or "beg"
+    padding_id: Optional[int] = None  # defaults to num_items
+    train_padding_embed: bool = True
+    # The reference's packed sequences become a length-masked GRU recurrence
+    # on TPU (identical semantics, fixed shapes): h_t advances only for
+    # t < true_len. use_packed_seq=False runs the GRU over pad tokens too,
+    # like the reference's non-packed path.
+    use_packed_seq: bool = True
+    best_model_metric: str = "Val_NDCG@10"
+    best_model_mode: str = "max"  # fixed comparator (reference SaveBestModel quirk 5)
+    head_idx: int = 0
+    eval_at: List[float] = field(default_factory=lambda: [0.25, 0.5, 0.75, 1.0])
+    # Double-Q specifics (SQN / SMORL)
+    num_q_heads: int = 3  # SMORL; canonical 3-head (acc, div, nov)
+    # dtype policy: params dtype and compute dtype. bfloat16 compute keeps the
+    # MXU fed; fp32 params keep Adam stable.
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
+    # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of
+    # true_next_len (sqn_gru.py:231, smorl_gru.py:291).
+    compat_boot_len_bug: bool = False
+    # Quirk 3: reference computes the online diversity reward with
+    # len_states=true_next_len over s (smorl_gru.py:298-305).
+    compat_div_len_bug: bool = False
+    # Quirk 4: reference reads h[0] (first layer) instead of h[-1] as the
+    # head input for multi-layer GRUs (models/GRU4Rec/model.py:76-77).
+    compat_first_layer_head: bool = False
+    # Resume support (an upgrade over the reference, which has none).
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+
+
+@dataclass
+class MetricsConfig:
+    """Evaluation protocol parameters (reference YAML section ``metrics``)."""
+
+    div_emb_dir: Optional[str] = None
+    unpopular_actions_path: Optional[str] = None
+    topk_cov: List[int] = field(default_factory=lambda: [1, 5, 10, 20])
+    topk_div: int = 1
+    topk_hr_ndcg: List[int] = field(default_factory=lambda: [10, 20])
+    topk_nov: int = 1
+    nov_rew_sig: float = 1.0
+
+
+@dataclass
+class Config:
+    """Top-level config: the four reference YAML sections."""
+
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    metrics: MetricsConfig = field(default_factory=MetricsConfig)
+    # The config file's parent directory doubles as the experiment output dir
+    # (reference ``scripts/paper/smorl_gru_train.py:20``).
+    exp_dir: str = "."
+
+    @property
+    def padding_id(self) -> int:
+        if self.train.padding_id is not None:
+            return self.train.padding_id
+        return self.data.num_items
+
+    @property
+    def seed(self) -> int:
+        exp = self.experiment
+        if exp.seed_torch is not None:
+            # Fold the reference's two seeds into one deterministic value.
+            return int(exp.seed_torch) * 1_000_003 + int(exp.seed_python or 0)
+        return exp.seed
+
+
+def _filter_kwargs(cls: type, raw: Dict[str, Any]) -> Dict[str, Any]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in raw.items() if k in names}
+
+
+# Keys the reference YAMLs use that map onto differently-named fields here.
+_TRAIN_ALIASES = {
+    "base_model": "model",
+}
+
+
+def config_from_dict(raw: Dict[str, Any], exp_dir: str = ".") -> Config:
+    """Build a Config from a raw (reference-compatible) YAML dict."""
+    exp_raw = dict(raw.get("experiment", {}))
+    for key in ("exp_class", "exp_name"):
+        if key in raw:
+            exp_raw.setdefault(key, raw[key])
+    data_raw = dict(raw.get("data", {}))
+    train_raw = dict(raw.get("train", {}))
+    for old, new in _TRAIN_ALIASES.items():
+        if old in train_raw and new not in train_raw:
+            val = train_raw.pop(old)
+            # Reference uses base_model: "GRU"; our model names are lowercase.
+            train_raw[new] = {"GRU": "gru4rec"}.get(val, str(val).lower())
+    metrics_raw = dict(raw.get("metrics", {}))
+    # eval_at historically lives in the metrics section of IKEA configs.
+    if "eval_at" in metrics_raw and "eval_at" not in train_raw:
+        train_raw["eval_at"] = metrics_raw["eval_at"]
+    # padding_position was also spelled padding_pos in some configs.
+    if "padding_pos" in train_raw and "padding_position" not in train_raw:
+        train_raw["padding_position"] = train_raw.pop("padding_pos")
+    return Config(
+        experiment=ExperimentConfig(**_filter_kwargs(ExperimentConfig, exp_raw)),
+        data=DataConfig(**_filter_kwargs(DataConfig, data_raw)),
+        train=TrainConfig(**_filter_kwargs(TrainConfig, train_raw)),
+        metrics=MetricsConfig(**_filter_kwargs(MetricsConfig, metrics_raw)),
+        exp_dir=exp_dir,
+    )
+
+
+def load_experiment_config(yaml_path: str) -> Config:
+    """Load a YAML experiment file (reference-compatible schema)."""
+    with open(yaml_path, "r") as fh:
+        raw = yaml.safe_load(fh) or {}
+    exp_dir = os.path.dirname(os.path.abspath(yaml_path))
+    return config_from_dict(raw, exp_dir=exp_dir)
+
+
+def save_experiment_config(cfg: Config, yaml_path: str) -> None:
+    raw = {
+        "experiment": dataclasses.asdict(cfg.experiment),
+        "data": dataclasses.asdict(cfg.data),
+        "train": dataclasses.asdict(cfg.train),
+        "metrics": dataclasses.asdict(cfg.metrics),
+    }
+    with open(yaml_path, "w") as fh:
+        yaml.safe_dump(raw, fh, sort_keys=False)

@@ -1,0 +1,244 @@
+"""Array-backed replay buffers + fixed-shape batch iterators.
+
+Replaces the reference's torch ``Dataset``/``DataLoader`` pair
+(``ikea/data_utils/replay_buffer.py:6-127``) with columnar numpy storage and
+an iterator that yields fixed-shape batches — on TPU every batch must have a
+static shape, so the trailing partial batch (the reference uses
+``drop_last=False``) is padded and carries a ``valid`` mask that all loss /
+metric kernels respect.
+
+Supported on-disk formats: JSON-lines (the reference's GCS buffer format),
+pickle DataFrames (RetailRocket generation), ``.npz`` (native columnar format,
+the fast path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch (device-ready numpy)."""
+
+    state: np.ndarray  # (B, L) int32
+    action: np.ndarray  # (B,) int32
+    reward: np.ndarray  # (B,) float32
+    next_state: np.ndarray  # (B, L) int32
+    true_len: np.ndarray  # (B,) int32
+    true_next_len: np.ndarray  # (B,) int32
+    is_end: np.ndarray  # (B,) bool
+    valid: np.ndarray  # (B,) bool — False on padded tail rows
+
+
+@dataclass
+class EvalBatch:
+    state: np.ndarray  # (B, L) int32
+    action: np.ndarray  # (B,) int32
+    true_len: np.ndarray  # (B,) int32
+    valid: np.ndarray  # (B,) bool
+
+
+_TRAIN_COLS = (
+    "state",
+    "action",
+    "r_act",
+    "next_state",
+    "true_state_len",
+    "true_next_state_len",
+    "is_end",
+)
+
+
+def _load_columns(path: str, columns):
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return {c: data[c] for c in columns if c in data}
+    import pandas as pd
+
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        df = pd.read_json(path, orient="records", lines=True)
+    else:
+        df = pd.read_pickle(path)
+    out = {}
+    for c in columns:
+        if c not in df.columns:
+            continue
+        col = df[c].values
+        if len(col) and isinstance(col[0], (list, np.ndarray)):
+            out[c] = np.asarray(col.tolist())
+        else:
+            out[c] = df[c].to_numpy()
+    return out
+
+
+class ReplayBuffer:
+    """Training buffer: the 7-column contract, fully materialized as arrays
+    (the reference materializes to numpy at init too,
+    ``ikea/data_utils/replay_buffer.py:51-57``)."""
+
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        *,
+        state: Optional[np.ndarray] = None,
+        action: Optional[np.ndarray] = None,
+        reward: Optional[np.ndarray] = None,
+        next_state: Optional[np.ndarray] = None,
+        true_len: Optional[np.ndarray] = None,
+        true_next_len: Optional[np.ndarray] = None,
+        is_end: Optional[np.ndarray] = None,
+    ):
+        if path is not None:
+            cols = _load_columns(path, _TRAIN_COLS)
+            state = cols["state"]
+            action = cols["action"]
+            reward = cols["r_act"]
+            next_state = cols["next_state"]
+            true_len = cols["true_state_len"]
+            true_next_len = cols["true_next_state_len"]
+            is_end = cols["is_end"]
+        self.state = np.asarray(state, dtype=np.int32)
+        self.action = np.asarray(action, dtype=np.int32)
+        self.reward = np.asarray(reward, dtype=np.float32)
+        self.next_state = np.asarray(next_state, dtype=np.int32)
+        self.true_len = np.asarray(true_len, dtype=np.int32)
+        self.true_next_len = np.asarray(true_next_len, dtype=np.int32)
+        self.is_end = np.asarray(is_end, dtype=bool)
+
+    @classmethod
+    def from_dataframe(cls, df) -> "ReplayBuffer":
+        return cls(
+            state=np.asarray(df["state"].values.tolist()),
+            action=df["action"].to_numpy(),
+            reward=df["r_act"].to_numpy(),
+            next_state=np.asarray(df["next_state"].values.tolist()),
+            true_len=df["true_state_len"].to_numpy(),
+            true_next_len=df["true_next_state_len"].to_numpy(),
+            is_end=df["is_end"].to_numpy(),
+        )
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            state=self.state,
+            action=self.action,
+            r_act=self.reward,
+            next_state=self.next_state,
+            true_state_len=self.true_len,
+            true_next_state_len=self.true_next_len,
+            is_end=self.is_end,
+        )
+
+    def __len__(self) -> int:
+        return len(self.action)
+
+
+class EvalBuffer:
+    """Evaluation buffer: (state, action, true_state_len)
+    (reference ``ikea/data_utils/replay_buffer.py:85-127``)."""
+
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        *,
+        state: Optional[np.ndarray] = None,
+        action: Optional[np.ndarray] = None,
+        true_len: Optional[np.ndarray] = None,
+    ):
+        if path is not None:
+            cols = _load_columns(path, ("state", "action", "true_state_len"))
+            state = cols["state"]
+            action = cols["action"]
+            true_len = cols["true_state_len"]
+        self.state = np.asarray(state, dtype=np.int32)
+        self.action = np.asarray(action, dtype=np.int32)
+        self.true_len = np.asarray(true_len, dtype=np.int32)
+
+    @classmethod
+    def from_dataframe(cls, df) -> "EvalBuffer":
+        return cls(
+            state=np.asarray(df["state"].values.tolist()),
+            action=df["action"].to_numpy(),
+            true_len=df["true_state_len"].to_numpy(),
+        )
+
+    @classmethod
+    def from_replay_buffer(cls, buf: ReplayBuffer) -> "EvalBuffer":
+        return cls(state=buf.state, action=buf.action, true_len=buf.true_len)
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, state=self.state, action=self.action, true_state_len=self.true_len
+        )
+
+    def __len__(self) -> int:
+        return len(self.action)
+
+
+def _pad_take(arr: np.ndarray, idx: np.ndarray, batch_size: int) -> np.ndarray:
+    """Take rows `idx`, then tile the first row to fill up to batch_size."""
+    out = arr[idx]
+    pad = batch_size - len(idx)
+    if pad > 0:
+        filler = np.broadcast_to(out[:1], (pad,) + out.shape[1:])
+        out = np.concatenate([out, filler], axis=0)
+    return out
+
+
+def num_batches(n: int, batch_size: int, drop_last: bool = False) -> int:
+    return n // batch_size if drop_last else -(-n // batch_size)
+
+
+def train_batches(
+    buf: ReplayBuffer,
+    batch_size: int,
+    rng: Optional[np.random.Generator] = None,
+    shuffle: bool = True,
+    drop_last: bool = False,
+) -> Iterator[Batch]:
+    """Shuffled fixed-shape batches; trailing batch padded + masked."""
+    n = len(buf)
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(idx)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    for lo in range(0, stop, batch_size):
+        take = idx[lo : lo + batch_size]
+        b = len(take)
+        valid = np.zeros(batch_size, dtype=bool)
+        valid[:b] = True
+        yield Batch(
+            state=_pad_take(buf.state, take, batch_size),
+            action=_pad_take(buf.action, take, batch_size),
+            reward=_pad_take(buf.reward, take, batch_size),
+            next_state=_pad_take(buf.next_state, take, batch_size),
+            true_len=_pad_take(buf.true_len, take, batch_size),
+            true_next_len=_pad_take(buf.true_next_len, take, batch_size),
+            is_end=_pad_take(buf.is_end, take, batch_size),
+            valid=valid,
+        )
+
+
+def eval_batches(
+    buf: EvalBuffer, batch_size: int, drop_last: bool = False
+) -> Iterator[EvalBatch]:
+    """Sequential fixed-shape eval batches (shuffling is pointless for the
+    order-independent eval protocol — reference quirk 9)."""
+    n = len(buf)
+    idx = np.arange(n)
+    stop = (n // batch_size) * batch_size if drop_last else n
+    for lo in range(0, stop, batch_size):
+        take = idx[lo : lo + batch_size]
+        b = len(take)
+        valid = np.zeros(batch_size, dtype=bool)
+        valid[:b] = True
+        yield EvalBatch(
+            state=_pad_take(buf.state, take, batch_size),
+            action=_pad_take(buf.action, take, batch_size),
+            true_len=_pad_take(buf.true_len, take, batch_size),
+            valid=valid,
+        )

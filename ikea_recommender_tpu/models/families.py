@@ -1,0 +1,134 @@
+"""Model families as head-configurations over the shared backbone.
+
+The reference's five model classes are structurally one backbone with
+different head sets (SURVEY.md §2 #1-8):
+
+- ``gru4rec``       -> sup head only                 (model.py:6-82)
+- ``bidir_gru4rec`` -> sup head on 2H bidir features (BidirGRU4Rec/model.py)
+- ``sqn``           -> sup + 1 Q head                (sqn_gru.py:10-112)
+- ``smorl``         -> sup + K Q heads (canonical K=3: acc/div/nov; the
+                       reference net emits 3 but trains 2 — quirk 1)
+                                                     (smorl_gru.py:14-139)
+- ``sarm``          -> 5 Q heads, head 0 doubles as the supervised head
+                                                     (sarm.py:5-76)
+
+``apply_model`` returns a tuple of head outputs so the eval protocol's
+``head_idx`` selection works uniformly (reference
+``evaluate/eval_protocol.py:103-120``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ikea_recommender_tpu.models.backbone import (
+    BackboneConfig,
+    apply_backbone,
+    init_backbone,
+)
+from ikea_recommender_tpu.models.heads import (
+    init_linear,
+    init_multihead,
+    linear_apply,
+    multihead_apply,
+)
+
+FAMILIES = ("gru4rec", "bidir_gru4rec", "sqn", "smorl", "sarm")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    family: str
+    backbone: BackboneConfig
+    action_dim: int
+    num_q_heads: int = 0  # sqn: 1, smorl: K (default 3), sarm: 5
+
+    def __post_init__(self):
+        if self.family not in FAMILIES:
+            raise ValueError(f"unknown model family {self.family!r}")
+
+    @property
+    def has_q(self) -> bool:
+        return self.family in ("sqn", "smorl", "sarm")
+
+
+def model_config_from_train(train_cfg, data_cfg) -> ModelConfig:
+    """Build a ModelConfig from the typed experiment config sections."""
+    family = train_cfg.model
+    backbone = BackboneConfig(
+        num_items=data_cfg.num_items,
+        embedding_dim=train_cfg.embedding_size,
+        hidden_dim=train_cfg.hidden_state_size,
+        gru_layers=train_cfg.gru_layers,
+        bidirectional=(family == "bidir_gru4rec"),
+        pad_id=train_cfg.padding_id,
+        train_pad_embed=train_cfg.train_padding_embed,
+        masked_recurrence=train_cfg.use_packed_seq,
+        head_layer="first" if train_cfg.compat_first_layer_head else "last",
+        dropout=train_cfg.dropout,
+        compute_dtype=train_cfg.compute_dtype,
+    )
+    num_q = {"gru4rec": 0, "bidir_gru4rec": 0, "sqn": 1, "sarm": 5}.get(
+        family, train_cfg.num_q_heads
+    )
+    return ModelConfig(
+        family=family,
+        backbone=backbone,
+        action_dim=data_cfg.num_actions,
+        num_q_heads=num_q,
+    )
+
+
+def init_model(key: jax.Array, cfg: ModelConfig) -> Dict:
+    k_bb, k_sup, k_q = jax.random.split(key, 3)
+    params: Dict = {"backbone": init_backbone(k_bb, cfg.backbone)}
+    feat = cfg.backbone.feature_dim
+    if cfg.family == "sarm":
+        # 5 Q heads; head 0 doubles as the supervised head (sarm.py:59-61).
+        params["q_heads"] = init_multihead(k_q, 5, feat, cfg.action_dim)
+        return params
+    params["sup_head"] = init_linear(k_sup, feat, cfg.action_dim)
+    if cfg.family == "sqn":
+        params["q_head"] = init_linear(k_q, feat, cfg.action_dim)
+    elif cfg.family == "smorl":
+        params["q_heads"] = init_multihead(k_q, cfg.num_q_heads, feat, cfg.action_dim)
+    return params
+
+
+def apply_model(
+    params: Dict,
+    cfg: ModelConfig,
+    states: jax.Array,
+    lengths: jax.Array,
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, ...]:
+    """Forward pass -> tuple of head outputs.
+
+    gru4rec / bidir: (logits,)
+    sqn:   (sup_logits, q_values (B, A))
+    smorl: (sup_logits, q_all (B, K, A))
+    sarm:  (head_0, ..., head_4) each (B, A)
+    """
+    h = apply_backbone(
+        params["backbone"],
+        cfg.backbone,
+        states,
+        lengths,
+        dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )
+    if cfg.family == "sarm":
+        q_all = multihead_apply(params["q_heads"], h)  # (B, 5, A)
+        return tuple(q_all[:, i, :] for i in range(5))
+    sup = linear_apply(params["sup_head"], h)
+    if cfg.family == "sqn":
+        return sup, linear_apply(params["q_head"], h)
+    if cfg.family == "smorl":
+        return sup, multihead_apply(params["q_heads"], h)
+    return (sup,)
