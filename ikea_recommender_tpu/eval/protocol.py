@@ -1,0 +1,214 @@
+"""The evaluation protocol — fully on device.
+
+Computes, over an evaluation buffer (reference
+``evaluate/eval_protocol.py:123-263``):
+
+- mean CE loss (mean-of-batch-means, the reference's normalization — quirk 8);
+- HR@k and NDCG@k for each k (normalized by sample count);
+- catalog coverage CV@k over all items and over the unpopular set,
+  accumulated across the whole pass (device boolean scatter, exact
+  set-union semantics);
+- mean online diversity reward (1 - cos-sim to the last state item,
+  frozen pretrained embedding);
+- mean online novelty reward (top-k ∩ unpopular);
+- summed repetition counts R@k (top-k predictions already in the state).
+
+The reference's host round-trips (``preds.to("cpu")``, np.vectorize rank
+scan, Python set unions — ``eval_protocol.py:199-233``) are replaced by one
+jitted accumulator update per batch; only the final normalization touches
+the host. The same batch function doubles as the reference's
+``update_train_metrics`` (``eval_protocol.py:266-359``): trainers thread a
+separate accumulator through training batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ikea_recommender_tpu.models.families import ModelConfig, apply_model
+from ikea_recommender_tpu.ops.coverage import (
+    coverage_ratios,
+    init_coverage,
+    update_coverage,
+)
+from ikea_recommender_tpu.ops.ranking import hr_ndcg_at_k
+from ikea_recommender_tpu.ops.rewards import (
+    diversity_rewards,
+    novelty_rewards,
+    repetition_counts,
+)
+
+
+@struct.dataclass
+class EvalAccum:
+    """Device-side running totals over batches."""
+
+    loss_sum: jax.Array  # () float — sum of per-batch mean CE
+    n_batches: jax.Array  # () int
+    n_samples: jax.Array  # () int
+    hits: jax.Array  # (n_k,) float
+    ndcg: jax.Array  # (n_k,) float
+    reps: jax.Array  # (n_k,) float
+    div_rew_sum: jax.Array  # () float
+    nov_rew_sum: jax.Array  # () float
+    covered: jax.Array  # (n_cov_k, A) bool
+
+
+@dataclass
+class EvalResult:
+    """Normalized metrics; field names mirror the reference's 7-tuple."""
+
+    loss: float
+    hr: np.ndarray  # (n_k,)
+    ndcg: np.ndarray  # (n_k,)
+    coverage: Dict[int, Tuple[float, float]]  # k -> (unpop_cov, all_cov)
+    div_rew: float
+    nov_rew: float
+    reps: np.ndarray  # (n_k,)
+
+
+class EvalProtocol:
+    """Bundles the metric configuration + jitted per-batch update."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        *,
+        topk_hr_ndcg: Sequence[int] = (5, 10, 20),
+        topk_cov: Sequence[int] = (1, 5, 10),
+        topk_div: int = 1,
+        topk_nov: int = 1,
+        nov_rew_sig: float = 1.0,
+        padding_pos: str = "end",
+        div_embedding: Optional[jax.Array] = None,
+        unpopular_mask: Optional[jax.Array] = None,
+        out_to_in: Optional[jax.Array] = None,
+        head_idx: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.topk_hr_ndcg = tuple(topk_hr_ndcg)
+        self.topk_cov = tuple(topk_cov)
+        self.topk_div = topk_div
+        self.topk_nov = topk_nov
+        self.nov_rew_sig = nov_rew_sig
+        self.padding_pos = padding_pos
+        self.num_actions = model_cfg.action_dim
+        self.head_idx = head_idx
+        if div_embedding is None:
+            # Degenerate frozen embedding => diversity reward constant 0.
+            div_embedding = jnp.ones((model_cfg.backbone.num_items + 1, 1))
+        self.div_embedding = jnp.asarray(div_embedding)
+        if unpopular_mask is None:
+            unpopular_mask = jnp.zeros((self.num_actions,), dtype=bool)
+        self.unpopular_mask = jnp.asarray(unpopular_mask)
+        self.out_to_in = None if out_to_in is None else jnp.asarray(out_to_in)
+        self._update = jax.jit(self._batch_update, donate_argnums=(1,))
+
+    # -- accumulators ------------------------------------------------------
+    def init_accum(self) -> EvalAccum:
+        n_k = len(self.topk_hr_ndcg)
+        return EvalAccum(
+            loss_sum=jnp.zeros(()),
+            n_batches=jnp.zeros((), jnp.int32),
+            n_samples=jnp.zeros((), jnp.int32),
+            hits=jnp.zeros((n_k,)),
+            ndcg=jnp.zeros((n_k,)),
+            reps=jnp.zeros((n_k,)),
+            div_rew_sum=jnp.zeros(()),
+            nov_rew_sum=jnp.zeros(()),
+            covered=init_coverage(self.num_actions, len(self.topk_cov)),
+        )
+
+    # -- per-batch update (jitted) ----------------------------------------
+    def _batch_update(
+        self,
+        params: Any,
+        accum: EvalAccum,
+        state: jax.Array,
+        action: jax.Array,
+        true_len: jax.Array,
+        valid: jax.Array,
+    ) -> EvalAccum:
+        outs = apply_model(params, self.model_cfg, state, true_len)
+        preds = outs[self.head_idx]
+
+        per_ce = optax.softmax_cross_entropy_with_integer_labels(preds, action)
+        w = valid.astype(per_ce.dtype)
+        batch_loss = jnp.sum(per_ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        div = diversity_rewards(
+            state,
+            preds,
+            true_len,
+            self.padding_pos,
+            self.topk_div,
+            self.div_embedding,
+            out_to_in=self.out_to_in,
+        )
+        nov = novelty_rewards(
+            preds, self.unpopular_mask, self.nov_rew_sig, self.topk_nov
+        )
+        hits, ndcg = hr_ndcg_at_k(preds, action, self.topk_hr_ndcg, valid=valid)
+        reps = repetition_counts(
+            state, preds, self.topk_hr_ndcg, out_to_in=self.out_to_in, valid=valid
+        )
+        covered = update_coverage(accum.covered, preds, self.topk_cov, valid=valid)
+
+        return EvalAccum(
+            loss_sum=accum.loss_sum + batch_loss,
+            n_batches=accum.n_batches + 1,
+            n_samples=accum.n_samples + jnp.sum(valid.astype(jnp.int32)),
+            hits=accum.hits + hits,
+            ndcg=accum.ndcg + ndcg,
+            reps=accum.reps + reps,
+            div_rew_sum=accum.div_rew_sum + jnp.sum(div * w),
+            nov_rew_sum=accum.nov_rew_sum + jnp.sum(nov * w),
+            covered=covered,
+        )
+
+    def update(self, params, accum, state, action, true_len, valid) -> EvalAccum:
+        return self._update(params, accum, state, action, true_len, valid)
+
+    # -- normalization -----------------------------------------------------
+    def finalize(self, accum: EvalAccum) -> EvalResult:
+        n = max(int(accum.n_samples), 1)
+        n_b = max(int(accum.n_batches), 1)
+        unpop_cov, all_cov = coverage_ratios(
+            accum.covered, self.unpopular_mask, self.num_actions
+        )
+        coverage = {
+            k: (float(unpop_cov[i]), float(all_cov[i]))
+            for i, k in enumerate(self.topk_cov)
+        }
+        return EvalResult(
+            loss=float(accum.loss_sum) / n_b,
+            hr=np.asarray(accum.hits) / n,
+            ndcg=np.asarray(accum.ndcg) / n,
+            coverage=coverage,
+            div_rew=float(accum.div_rew_sum) / n,
+            nov_rew=float(accum.nov_rew_sum) / n,
+            reps=np.asarray(accum.reps) / n,
+        )
+
+    # -- whole-buffer evaluation ------------------------------------------
+    def evaluate(self, params, eval_buf, batch_size: int) -> EvalResult:
+        from ikea_recommender_tpu.data.replay_buffer import eval_batches
+
+        accum = self.init_accum()
+        for b in eval_batches(eval_buf, batch_size):
+            accum = self.update(
+                params,
+                accum,
+                jnp.asarray(b.state),
+                jnp.asarray(b.action),
+                jnp.asarray(b.true_len),
+                jnp.asarray(b.valid),
+            )
+        return self.finalize(accum)

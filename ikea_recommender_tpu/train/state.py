@@ -1,0 +1,95 @@
+"""Train state containers.
+
+Two shapes:
+
+- :class:`TrainState` — one network + one Adam state (GRU4Rec / Bidir / SARM).
+- :class:`DoubleQState` — the reference's double-Q pairs (SQN / SMORL:
+  ``sqn_gru.py:141-181``) as STACKED pytrees: every param / optimizer leaf
+  carries a leading axis of size 2. Per step a jax.random coin picks the
+  main net; select = dynamic-index, write-back = dynamic-update-slice — one
+  jitted step, no retracing, no host round-trip (fixes SURVEY.md quirk 7).
+
+The stacked layout is also what a TPU wants: both nets' optimizer updates
+are identical programs, and the (2, ...) leaves vectorize trivially.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ikea_recommender_tpu.models.families import ModelConfig, init_model
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    rng: jax.Array  # PRNG key
+
+
+@struct.dataclass
+class DoubleQState:
+    params: Any  # every leaf (2, ...)
+    opt_state: Any  # every leaf (2, ...)
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+    """Adam with torch defaults (betas 0.9/0.999, eps 1e-8) — the reference's
+    optimizer everywhere (``models/GRU4Rec/model.py:121-124``)."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_train_state(
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    k_init, k_state = jax.random.split(key)
+    params = init_model(k_init, model_cfg)
+    opt = make_optimizer(learning_rate)
+    return (
+        TrainState(
+            params=params,
+            opt_state=opt.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        ),
+        opt,
+    )
+
+
+def make_double_q_state(
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+) -> Tuple[DoubleQState, optax.GradientTransformation]:
+    k1, k2, k_state = jax.random.split(key, 3)
+    p1 = init_model(k1, model_cfg)
+    p2 = init_model(k2, model_cfg)  # independent init, like the reference's
+    # sequential torch draws for DQN_1 / DQN_2
+    opt = make_optimizer(learning_rate)
+    o1, o2 = opt.init(p1), opt.init(p2)
+    stack = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+    return (
+        DoubleQState(
+            params=stack(p1, p2),
+            opt_state=stack(o1, o2),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        ),
+        opt,
+    )
+
+
+def select_net(stacked: Any, idx: jax.Array) -> Any:
+    """Pull network `idx` out of a stacked pytree (dynamic index)."""
+    return jax.tree.map(lambda x: x[idx], stacked)
+
+
+def write_net(stacked: Any, idx: jax.Array, new: Any) -> Any:
+    """Write network `idx` back into a stacked pytree."""
+    return jax.tree.map(lambda s, n: s.at[idx].set(n), stacked, new)
