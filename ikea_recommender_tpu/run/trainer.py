@@ -1,0 +1,346 @@
+"""Unified training orchestration.
+
+One engine parameterized by model family replaces the reference's five
+near-identical ~450-line trainer templates
+(``ikea/training/trainGRU.py:22-415``, ``trainSQN.py``, ``trainSMORL.py``,
+``trainBidirGRU.py``, ``trainSARM.py``). Semantics preserved:
+
+- fractional-epoch evaluation: ``eval_at=[0.25, 0.5, 0.75, 1]`` ->
+  ``eval_idx = [int(n_batches * p)]``, triggered when ``n_batch + 1`` is in
+  the set (``trainGRU.py:154-155, 239``);
+- per-batch train metrics with the post-step params (the reference's
+  ``update_train_metrics`` extra forward), windows reset after each eval;
+- double-Q families evaluate BOTH networks, log the second with a ``Sec_``
+  prefix, and checkpoint whichever wins the watched metric
+  (``trainSMORL.py:278-391``);
+- end of run: reload the best params, evaluate on the test set (which may be
+  the val set — ``real_test`` flips the metric prefix), optionally export the
+  item-embedding matrix for the frozen-diversity-embedding workflow
+  (``trainGRU.py:411-415``).
+
+Upgrades over the reference: full-state orbax checkpoints with epoch-level
+resume; a metrics container instead of positional tuples (quirk 6); and the
+SMORL trainer actually runs (the reference's has unrunnable API skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ikea_recommender_tpu.core.config import Config
+from ikea_recommender_tpu.data.item_frequency import (
+    load_unpopular_items,
+    unpopular_mask as build_unpopular_mask,
+)
+from ikea_recommender_tpu.data.replay_buffer import (
+    EvalBuffer,
+    ReplayBuffer,
+    eval_batches,
+    num_batches,
+    train_batches,
+)
+from ikea_recommender_tpu.data.tokenizer import Tokenizer, build_output_to_input_table
+from ikea_recommender_tpu.eval.protocol import EvalProtocol, EvalResult
+from ikea_recommender_tpu.models.families import model_config_from_train
+from ikea_recommender_tpu.run.checkpoints import BestModelTracker, CheckpointManager
+from ikea_recommender_tpu.train.state import (
+    make_double_q_state,
+    make_optimizer,
+    make_train_state,
+    select_net,
+)
+from ikea_recommender_tpu.train.steps import (
+    RLStepConfig,
+    batch_to_device_dict,
+    make_train_step,
+)
+from ikea_recommender_tpu.utils.logging_dicts import (
+    get_logging_dict_test,
+    get_logging_dict_train,
+)
+
+DOUBLE_Q_FAMILIES = ("sqn", "smorl")
+
+
+def load_div_embedding(path: str) -> np.ndarray:
+    """Frozen pretrained diversity embedding: .npy/.npz (native) or .pt
+    (reference's torch export)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data["embedding"] if "embedding" in data else data[data.files[0]]
+    import torch
+
+    return np.asarray(torch.load(path, map_location="cpu", weights_only=True))
+
+
+@dataclass
+class TrainOutcome:
+    best_metric: float
+    best_epoch: Optional[int]
+    test_metrics: Dict[str, float]
+    logs: List[Dict[str, float]] = field(default_factory=list)
+    best_params: Any = None
+    throughput_sessions_per_sec: float = 0.0
+
+
+def _eval_params_list(state, family):
+    """Networks to evaluate: [net1] or [net1, net2] for double-Q."""
+    if family in DOUBLE_Q_FAMILIES:
+        return [select_net(state.params, 0), select_net(state.params, 1)]
+    return [state.params]
+
+
+def train(
+    cfg: Config,
+    *,
+    train_buf: Optional[ReplayBuffer] = None,
+    val_buf: Optional[EvalBuffer] = None,
+    test_buf: Optional[EvalBuffer] = None,
+    div_embedding: Optional[np.ndarray] = None,
+    unpopular: Optional[set] = None,
+    input_tokenizer: Optional[Tokenizer] = None,
+    output_tokenizer: Optional[Tokenizer] = None,
+    log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
+    progress: bool = False,
+) -> TrainOutcome:
+    t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.metrics
+    family = t_cfg.model
+
+    # ---- data -----------------------------------------------------------
+    if train_buf is None:
+        train_buf = ReplayBuffer(d_cfg.train_path)
+    if val_buf is None:
+        val_buf = EvalBuffer(d_cfg.val_path)
+    real_test = bool(d_cfg.test_path) and d_cfg.test_path != d_cfg.val_path
+    if test_buf is None:
+        test_buf = EvalBuffer(d_cfg.test_path) if real_test else val_buf
+
+    if input_tokenizer is None and d_cfg.input_tokenizer:
+        input_tokenizer = Tokenizer.from_file(d_cfg.input_tokenizer)
+    if output_tokenizer is None and d_cfg.output_tokenizer:
+        output_tokenizer = Tokenizer.from_file(d_cfg.output_tokenizer)
+    out_to_in = None
+    if input_tokenizer is not None and output_tokenizer is not None:
+        out_to_in = jnp.asarray(
+            build_output_to_input_table(input_tokenizer, output_tokenizer)
+        )
+
+    if unpopular is None and m_cfg.unpopular_actions_path:
+        unpopular = load_unpopular_items(m_cfg.unpopular_actions_path)
+    unpop_mask = jnp.asarray(
+        build_unpopular_mask(unpopular or set(), d_cfg.num_actions)
+    )
+
+    if div_embedding is None and m_cfg.div_emb_dir:
+        div_embedding = load_div_embedding(m_cfg.div_emb_dir)
+    div_emb = (
+        jnp.asarray(div_embedding)
+        if div_embedding is not None
+        else jnp.ones((d_cfg.num_items + 1, 1))
+    )
+
+    # ---- model / step / protocol ---------------------------------------
+    model_cfg = model_config_from_train(t_cfg, d_cfg)
+    opt = make_optimizer(t_cfg.learning_rate)
+    rl = RLStepConfig(
+        gamma=t_cfg.gamma,
+        alpha=t_cfg.alpha,
+        q_weights=tuple(t_cfg.q_weights),
+        topk_div=m_cfg.topk_div,
+        topk_nov=m_cfg.topk_nov,
+        nov_rew_sig=m_cfg.nov_rew_sig,
+        padding_pos=t_cfg.padding_position,
+        compat_boot_len_bug=t_cfg.compat_boot_len_bug,
+        compat_div_len_bug=t_cfg.compat_div_len_bug,
+    )
+    key = jax.random.key(cfg.seed)
+    if family in DOUBLE_Q_FAMILIES:
+        state, _ = make_double_q_state(key, model_cfg, t_cfg.learning_rate)
+    else:
+        state, _ = make_train_state(key, model_cfg, t_cfg.learning_rate)
+    step_fn = make_train_step(
+        model_cfg,
+        opt,
+        rl,
+        div_embedding=div_emb,
+        unpopular_mask=unpop_mask,
+        out_to_in=out_to_in,
+        donate=True,
+    )
+
+    protocol = EvalProtocol(
+        model_cfg,
+        topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+        topk_cov=m_cfg.topk_cov,
+        topk_div=m_cfg.topk_div,
+        topk_nov=m_cfg.topk_nov,
+        nov_rew_sig=m_cfg.nov_rew_sig,
+        padding_pos=t_cfg.padding_position,
+        div_embedding=div_emb,
+        unpopular_mask=unpop_mask,
+        out_to_in=out_to_in,
+        head_idx=t_cfg.head_idx,
+    )
+
+    tracker = BestModelTracker(
+        cfg.exp_dir, metric_name=t_cfg.best_model_metric, mode=t_cfg.best_model_mode
+    )
+    dims = {
+        "hidden_dim": t_cfg.hidden_state_size,
+        "item_num": d_cfg.num_items,
+        "action_dim": d_cfg.num_actions,
+        "state_size": t_cfg.state_size,
+        "embedding_dim": t_cfg.embedding_size,
+    }
+
+    ckpt_mngr = None
+    start_epoch = 0
+    if t_cfg.checkpoint_dir:
+        ckpt_mngr = CheckpointManager(t_cfg.checkpoint_dir)
+        if t_cfg.resume:
+            restored = ckpt_mngr.restore(state)
+            if restored is not None:
+                state = restored
+                start_epoch = int(ckpt_mngr.latest_step())
+                print(f"[resume] restored checkpoint, continuing at epoch {start_epoch}")
+
+    # ---- warmup eval (reference does one pre-training eval) -------------
+    _ = protocol.evaluate(_eval_params_list(state, family)[0], val_buf, t_cfg.val_batch_size)
+
+    n_b = num_batches(len(train_buf), t_cfg.batch_size)
+    eval_idx = {int(n_b * p) for p in t_cfg.eval_at}
+
+    logs: List[Dict[str, float]] = []
+    log_counter = 0
+    total_sessions = 0
+    train_time = 0.0
+
+    for epoch in range(start_epoch, t_cfg.epochs):
+        rng = np.random.default_rng(cfg.seed * 100_003 + epoch)
+        train_accum = protocol.init_accum()
+        window_sup_loss = 0.0
+        window_q_loss = 0.0
+        window_batches = 0
+
+        for n_batch, batch in enumerate(
+            train_batches(train_buf, t_cfg.batch_size, rng=rng)
+        ):
+            dev_batch = batch_to_device_dict(batch)
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, dev_batch)
+            # train metrics with the post-step params (reference order)
+            eval_net = _eval_params_list(state, family)[0]
+            train_accum = protocol.update(
+                eval_net,
+                train_accum,
+                dev_batch["state"],
+                dev_batch["action"],
+                dev_batch["true_len"],
+                dev_batch["valid"],
+            )
+            window_sup_loss += float(metrics["sup_loss"])
+            window_q_loss += float(metrics["q_loss"])
+            window_batches += 1
+            train_time += time.perf_counter() - t0
+            total_sessions += int(batch.valid.sum())
+
+            if (n_batch + 1) in eval_idx:
+                train_res = protocol.finalize(train_accum)
+                nets = _eval_params_list(state, family)
+                val_results = [
+                    protocol.evaluate(p, val_buf, t_cfg.val_batch_size) for p in nets
+                ]
+                q_included = family != "gru4rec" and family != "bidir_gru4rec"
+                log_dict = get_logging_dict_train(
+                    train_sup_loss=window_sup_loss / max(window_batches, 1),
+                    train_q_loss=window_q_loss / max(window_batches, 1),
+                    train_res=train_res,
+                    val_res=val_results[0],
+                    topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+                    topk_cov=m_cfg.topk_cov,
+                    q_included=q_included,
+                )
+                if len(val_results) > 1:
+                    log_dict.update(
+                        get_logging_dict_train(
+                            train_sup_loss=0.0,
+                            train_q_loss=None,
+                            train_res=train_res,
+                            val_res=val_results[1],
+                            topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+                            topk_cov=m_cfg.topk_cov,
+                            q_included=False,
+                            prefix="Sec_",
+                        )
+                    )
+
+                # Best-model bookkeeping: double-Q saves the winning net.
+                metric_name = tracker.metric_name
+                candidates = [(log_dict.get(metric_name, -np.inf), 1, nets[0])]
+                if len(nets) > 1:
+                    candidates.append(
+                        (log_dict.get(f"Sec_{metric_name}", -np.inf), 2, nets[1])
+                    )
+                value, model_idx, winner = max(candidates, key=lambda c: c[0])
+                tracker(value, epoch=log_counter, params=winner, model_idx=model_idx, dims=dims)
+
+                logs.append(log_dict)
+                if log_fn is not None:
+                    log_fn(log_dict, log_counter)
+                if progress:
+                    print(
+                        f"epoch {epoch+1} batch {n_batch+1}/{n_b} "
+                        f"{metric_name}={value:.5f} (best {tracker.best:.5f})"
+                    )
+                log_counter += 1
+                # reset the training window (reference trainGRU.py:385-395)
+                train_accum = protocol.init_accum()
+                window_sup_loss = window_q_loss = 0.0
+                window_batches = 0
+
+        if ckpt_mngr is not None:
+            ckpt_mngr.save(epoch + 1, state)
+
+    # ---- test with the reloaded best model ------------------------------
+    template = _eval_params_list(state, family)[0]
+    if os.path.exists(tracker.params_path):
+        best_params = tracker.load_best(template)
+    else:
+        best_params = template
+    test_res = protocol.evaluate(best_params, test_buf, t_cfg.val_batch_size)
+    test_metrics = get_logging_dict_test(
+        test_res,
+        topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+        topk_cov=m_cfg.topk_cov,
+        real_test=real_test,
+    )
+    if log_fn is not None:
+        log_fn(test_metrics, log_counter)
+    with open(os.path.join(cfg.exp_dir, "test_metrics.json"), "w") as fh:
+        json.dump(test_metrics, fh, indent=2)
+
+    if cfg.experiment.save_pretrained_embeddings:
+        np.save(
+            os.path.join(cfg.exp_dir, "embedding_weights.npy"),
+            np.asarray(best_params["backbone"]["embedding"]),
+        )
+
+    throughput = total_sessions / train_time if train_time > 0 else 0.0
+    return TrainOutcome(
+        best_metric=float(tracker.best),
+        best_epoch=tracker.best_epoch,
+        test_metrics=test_metrics,
+        logs=logs,
+        best_params=best_params,
+        throughput_sessions_per_sec=throughput,
+    )
