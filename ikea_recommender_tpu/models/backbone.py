@@ -42,6 +42,16 @@ class BackboneConfig:
     dropout: float = 0.0  # applied to the head input (BidirGRU4Rec)
     scan_impl: str = "xla"  # "xla" (lax.scan) | "pallas" (fused kernel)
     compute_dtype: str = "float32"
+    # Pad the table's row count up to a multiple (sharding divisibility +
+    # aligned TPU tiles). Extra rows are never indexed. 1 = exact reference
+    # dims.
+    vocab_align: int = 1
+
+    @property
+    def num_embeddings(self) -> int:
+        rows = self.num_items + 1
+        a = self.vocab_align
+        return -(-rows // a) * a
 
     @property
     def padding_idx(self) -> int:
@@ -55,7 +65,7 @@ class BackboneConfig:
 def init_backbone(key: jax.Array, cfg: BackboneConfig) -> Dict:
     k_emb, k_gru = jax.random.split(key)
     emb = 0.01 * jax.random.normal(
-        k_emb, (cfg.num_items + 1, cfg.embedding_dim), dtype=jnp.float32
+        k_emb, (cfg.num_embeddings, cfg.embedding_dim), dtype=jnp.float32
     )
     if not cfg.train_pad_embed:
         emb = emb.at[cfg.padding_idx].set(0.0)
@@ -79,7 +89,7 @@ def embedding_grad_mask(cfg: BackboneConfig) -> Optional[jnp.ndarray]:
     embedding is frozen. None when fully trainable."""
     if cfg.train_pad_embed:
         return None
-    mask = jnp.ones((cfg.num_items + 1, 1), dtype=jnp.float32)
+    mask = jnp.ones((cfg.num_embeddings, 1), dtype=jnp.float32)
     return mask.at[cfg.padding_idx].set(0.0)
 
 

@@ -46,18 +46,30 @@ class ModelConfig:
     backbone: BackboneConfig
     action_dim: int
     num_q_heads: int = 0  # sqn: 1, smorl: K (default 3), sarm: 5
+    # Pad the output head's action dim up to a multiple (sharding
+    # divisibility + aligned TPU tiles). Padded logits are masked to -1e9
+    # so softmax / top-k / argmax semantics are untouched. 1 = exact dims.
+    action_align: int = 1
 
     def __post_init__(self):
         if self.family not in FAMILIES:
             raise ValueError(f"unknown model family {self.family!r}")
 
     @property
+    def padded_action_dim(self) -> int:
+        a = self.action_align
+        return -(-self.action_dim // a) * a
+
+    @property
     def has_q(self) -> bool:
         return self.family in ("sqn", "smorl", "sarm")
 
 
-def model_config_from_train(train_cfg, data_cfg) -> ModelConfig:
-    """Build a ModelConfig from the typed experiment config sections."""
+def model_config_from_train(train_cfg, data_cfg, align: int = 1) -> ModelConfig:
+    """Build a ModelConfig from the typed experiment config sections.
+
+    ``align`` pads vocab rows and the action dim to a multiple (pass the
+    model-axis size — or lcm(128, axis) for tile-aligned TPU tables)."""
     family = train_cfg.model
     backbone = BackboneConfig(
         num_items=data_cfg.num_items,
@@ -71,6 +83,7 @@ def model_config_from_train(train_cfg, data_cfg) -> ModelConfig:
         head_layer="first" if train_cfg.compat_first_layer_head else "last",
         dropout=train_cfg.dropout,
         compute_dtype=train_cfg.compute_dtype,
+        vocab_align=align,
     )
     num_q = {"gru4rec": 0, "bidir_gru4rec": 0, "sqn": 1, "sarm": 5}.get(
         family, train_cfg.num_q_heads
@@ -80,6 +93,7 @@ def model_config_from_train(train_cfg, data_cfg) -> ModelConfig:
         backbone=backbone,
         action_dim=data_cfg.num_actions,
         num_q_heads=num_q,
+        action_align=align,
     )
 
 
@@ -87,15 +101,16 @@ def init_model(key: jax.Array, cfg: ModelConfig) -> Dict:
     k_bb, k_sup, k_q = jax.random.split(key, 3)
     params: Dict = {"backbone": init_backbone(k_bb, cfg.backbone)}
     feat = cfg.backbone.feature_dim
+    A = cfg.padded_action_dim
     if cfg.family == "sarm":
         # 5 Q heads; head 0 doubles as the supervised head (sarm.py:59-61).
-        params["q_heads"] = init_multihead(k_q, 5, feat, cfg.action_dim)
+        params["q_heads"] = init_multihead(k_q, 5, feat, A)
         return params
-    params["sup_head"] = init_linear(k_sup, feat, cfg.action_dim)
+    params["sup_head"] = init_linear(k_sup, feat, A)
     if cfg.family == "sqn":
-        params["q_head"] = init_linear(k_q, feat, cfg.action_dim)
+        params["q_head"] = init_linear(k_q, feat, A)
     elif cfg.family == "smorl":
-        params["q_heads"] = init_multihead(k_q, cfg.num_q_heads, feat, cfg.action_dim)
+        params["q_heads"] = init_multihead(k_q, cfg.num_q_heads, feat, A)
     return params
 
 
@@ -123,12 +138,22 @@ def apply_model(
         dropout_rng=dropout_rng,
         deterministic=deterministic,
     )
+
+    n_pad = cfg.padded_action_dim - cfg.action_dim
+
+    def mask_pad(logits):
+        # Padded action slots never win softmax / top-k / argmax.
+        if n_pad == 0:
+            return logits
+        neg = jnp.full(logits.shape[:-1] + (n_pad,), -1e9, dtype=logits.dtype)
+        return jnp.concatenate([logits[..., : cfg.action_dim], neg], axis=-1)
+
     if cfg.family == "sarm":
-        q_all = multihead_apply(params["q_heads"], h)  # (B, 5, A)
+        q_all = mask_pad(multihead_apply(params["q_heads"], h))  # (B, 5, A)
         return tuple(q_all[:, i, :] for i in range(5))
-    sup = linear_apply(params["sup_head"], h)
+    sup = mask_pad(linear_apply(params["sup_head"], h))
     if cfg.family == "sqn":
-        return sup, linear_apply(params["q_head"], h)
+        return sup, mask_pad(linear_apply(params["q_head"], h))
     if cfg.family == "smorl":
-        return sup, multihead_apply(params["q_heads"], h)
+        return sup, mask_pad(multihead_apply(params["q_heads"], h))
     return (sup,)

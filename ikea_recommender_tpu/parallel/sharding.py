@@ -1,0 +1,111 @@
+"""Sharding rules: how the recommender maps onto a (data, model) mesh.
+
+The reference is single-GPU; this layer is the new scaling capability
+(SURVEY.md §2 #35-38, BASELINE.json north star):
+
+- batch dim     -> ``data`` axis (pure DP; XLA all-reduces gradients on ICI);
+- embedding     -> rows (vocab dim) sharded on ``model``: the (V+1, E) table
+                   is the largest tensor (70k x 64 on RetailRocket, millions
+                   of rows at IKEA scale). Lookups become XLA-generated
+                   collective gathers over ICI;
+- output heads  -> action dim sharded on ``model``: logits (B, A) are
+                   computed shard-local; softmax-CE and top-k over the
+                   catalog run shard-local + a small collective
+                   (see ``parallel/topk.py`` for the explicit shard_map
+                   kernels);
+- GRU weights   -> replicated (tiny: H=64 -> ~100KB).
+
+Everything is expressed as ``NamedSharding`` annotations; ``jit`` with
+in/out shardings lets XLA insert the collectives (the scaling-book recipe:
+pick a mesh, annotate, let XLA do the rest).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ikea_recommender_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
+    """PartitionSpec for one parameter leaf, by name + rank.
+
+    Handles both single nets and double-Q stacked nets (leading axis 2:
+    leaf rank is +1, the extra dim stays unsharded).
+    """
+    name = path_keys[-1] if path_keys else ""
+    joined = "/".join(path_keys)
+    rank = np.ndim(leaf)
+    shape = np.shape(leaf)
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def guarded(spec):
+        """Drop sharding on any dim the leaf's size doesn't divide by —
+        un-padded models fall back to replication for that leaf."""
+        entries = list(spec)
+        for d, axis in enumerate(entries):
+            if axis is not None and shape[d] % n_model != 0:
+                entries[d] = None
+        return P(*entries)
+
+    if n_model <= 1:
+        return P()
+    if "embedding" in joined:
+        # (V+1, E) (+1 leading stack dim for double-Q): shard vocab rows.
+        return guarded([None] * (rank - 2) + [MODEL_AXIS, None])
+    if "sup_head" in joined or "q_head" in joined or "q_heads" in joined:
+        if name in ("kernel", "bias"):
+            # trailing dim is the action dim in every head layout
+            return guarded([None] * (rank - 1) + [MODEL_AXIS])
+    return P()  # GRU weights + optimizer scalars: replicated
+
+
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree matching a TrainState/DoubleQState.
+
+    Optimizer-state leaves mirror their parameter's sharding automatically:
+    adam's mu/nu have identical shapes and names (optax keeps the param tree
+    structure), so the same name+rank rule applies.
+    """
+
+    def one(path, leaf):
+        keys = [str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path]
+        if np.ndim(leaf) == 0 or (hasattr(leaf, "dtype") and "key" in str(leaf.dtype)):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _spec_for(keys, leaf, mesh))
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
+def batch_sharding_tree(batch: Any, mesh: Mesh) -> Any:
+    """Batch dict: every array sharded on its leading (batch) dim."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda _: sh, batch)
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    return jax.device_put(state, state_shardings(state, mesh))
+
+
+def make_sharded_train_step(
+    step_fn: Callable,
+    mesh: Mesh,
+    state_template: Any,
+    batch_template: Any,
+    metrics_replicated: bool = True,
+) -> Callable:
+    """jit the train step with explicit in/out shardings over the mesh."""
+    st_sh = state_shardings(state_template, mesh)
+    b_sh = batch_sharding_tree(batch_template, mesh)
+    rep = NamedSharding(mesh, P())
+    out_sh = (st_sh, jax.tree.map(lambda _: rep, {"sup_loss": 0.0, "q_loss": 0.0}))
+    return jax.jit(
+        step_fn,
+        in_shardings=(st_sh, b_sh),
+        out_shardings=out_sh,
+        donate_argnums=(0,),
+    )
