@@ -22,7 +22,7 @@ import numpy as np
 
 
 def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
-          emb=64, hidden=64, compute_dtype="float32", scan_impl="xla"):
+          emb=64, hidden=64, compute_dtype="float32", scan_impl="pallas"):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.models.families import model_config_from_train
     from ikea_recommender_tpu.train.state import (

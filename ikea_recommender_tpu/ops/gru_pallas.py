@@ -1,0 +1,300 @@
+"""Fused Pallas GRU scan — the framework's flagship TPU kernel.
+
+Replaces the reference's cuDNN fused GRU (``models/GRU4Rec/model.py:49-77``)
+with a hand-written TPU kernel. The input projection ``x @ W_i + b_i`` is a
+single large MXU matmul hoisted OUTSIDE the kernel (``models/gru.py``); what
+remains — the serial recurrence — is where XLA's ``lax.scan`` pays per-step
+HBM round-trips for the hidden state and per-iteration loop overhead. This
+kernel keeps ``h``, ``W_h`` and ``b_h`` resident in VMEM across ALL
+timesteps and pipelines the per-step ``xw_t`` slices via the sequential TPU
+grid (grid = (batch_tiles, T): Pallas double-buffers the HBM->VMEM DMAs of
+the next timestep's block while the current one computes).
+
+Internal layout is TIME-MAJOR (T, B, ·): TPU blocks tile the last two dims,
+so per-timestep slices become (1, B_tile, 3H) blocks whose trailing dims are
+full array dims — exactly what the Mosaic lowering wants. The wrappers
+transpose from the public batch-major (B, T, ·) convention; XLA fuses those
+transposes into the surrounding matmuls.
+
+Gate math matches torch (r|z|n ordering, ``n = tanh(xn + r * (h W_hn +
+b_hn))``), and the length-mask freeze ``h_t = m? h~ : h_{t-1}`` reproduces
+packed-sequence semantics.
+
+The backward pass is a second Pallas kernel running the time-reversed
+adjoint recurrence. No activation stash beyond the forward's own output
+sequence is needed: ``y_t == h_t``, so the backward recomputes the gates
+from ``(xw_t, h_{t-1})`` with one extra VMEM-resident matmul per step —
+FLOPs for HBM bandwidth, the right trade on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _batch_tile(B: int) -> int:
+    if B <= 512:
+        return B
+    for bt in (512, 256, 128):
+        if B % bt == 0:
+            return bt
+    return B
+
+
+def _split3(a):
+    H = a.shape[-1] // 3
+    return a[:, :H], a[:, H : 2 * H], a[:, 2 * H :]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel (time-major: xw (T, B, 3H), mask (T, B), y (T, B, H))
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(xw_ref, wh_ref, bh_ref, m_ref, y_ref, hfin_ref, h_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    h = h_ref[:]
+    xw_t = xw_ref[0].astype(jnp.float32)
+    hw = (
+        jnp.dot(h, wh_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + bh_ref[:].astype(jnp.float32)
+    )
+    xr, xz, xn = _split3(xw_t)
+    hr, hz, hn = _split3(hw)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    cand = (1.0 - z) * n + z * h
+    h_new = jnp.where(m_ref[0, 0][:, None] > 0, cand, h)
+    h_ref[:] = h_new
+    y_ref[0] = h_new.astype(y_ref.dtype)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hfin_ref[:] = h_new.astype(hfin_ref.dtype)
+
+
+def _forward(xw_tm: jax.Array, wh: jax.Array, bh: jax.Array, mask_tm: jax.Array):
+    T, B, H3 = xw_tm.shape
+    H = H3 // 3
+    BT = _batch_tile(B)
+    nb = B // BT
+    grid = (nb, T)
+    y, hfin = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BT, H3), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, BT), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), xw_tm.dtype),
+            jax.ShapeDtypeStruct((B, H), xw_tm.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((BT, H), jnp.float32)],
+        interpret=_interpret(),
+    )(xw_tm, wh, bh.reshape(1, H3), mask_tm)
+    return y, hfin
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (time-reversed adjoint recurrence)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    xw_ref,
+    wh_ref,
+    bh_ref,
+    m_ref,
+    yprev_ref,  # h_{t-1} block (index clamped at t=0; zeroed in-kernel)
+    gy_ref,
+    ghfin_ref,
+    dxw_ref,
+    dwh_ref,
+    dbh_ref,
+    dh_ref,
+    dwh_acc,
+    dbh_acc,
+):
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
+    ta = T - 1 - t  # actual timestep processed
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[:] = ghfin_ref[:].astype(jnp.float32)
+        dwh_acc[:] = jnp.zeros_like(dwh_acc)
+        dbh_acc[:] = jnp.zeros_like(dbh_acc)
+
+    dh = dh_ref[:] + gy_ref[0].astype(jnp.float32)
+    h_prev = jnp.where(
+        ta == 0,
+        jnp.zeros(yprev_ref.shape[1:], jnp.float32),
+        yprev_ref[0].astype(jnp.float32),
+    )
+
+    # Recompute gates from (xw_t, h_{t-1}) — y stores h exactly.
+    hw = (
+        jnp.dot(h_prev, wh_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + bh_ref[:].astype(jnp.float32)
+    )
+    xr, xz, xn = _split3(xw_ref[0].astype(jnp.float32))
+    hr, hz, hn = _split3(hw)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+
+    m = m_ref[0, 0][:, None]  # (BT, 1)
+    dh_t = dh * m
+    dh_skip = dh * (1.0 - m)
+
+    dn = dh_t * (1.0 - z)
+    dz = dh_t * (h_prev - n)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * hn
+    dhn = da_n * r
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+
+    dxw_t = jnp.concatenate([da_r, da_z, da_n], axis=1)  # (BT, 3H)
+    dhw = jnp.concatenate([da_r, da_z, dhn], axis=1)  # (BT, 3H)
+
+    dxw_ref[0] = dxw_t.astype(dxw_ref.dtype)
+    dwh_acc[:] += jnp.dot(h_prev.T, dhw, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    dbh_acc[:] += jnp.sum(dhw, axis=0, keepdims=True)
+
+    dh_ref[:] = (
+        dh_t * z
+        + jnp.dot(dhw, wh_ref[:].astype(jnp.float32).T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        + dh_skip
+    )
+
+    @pl.when(t == T - 1)
+    def _():
+        dwh_ref[0] = dwh_acc[:]
+        dbh_ref[0] = dbh_acc[:]
+
+
+def _backward(xw_tm, wh, bh, mask_tm, y_tm, gy_tm, g_hfin):
+    T, B, H3 = xw_tm.shape
+    H = H3 // 3
+    BT = _batch_tile(B)
+    nb = B // BT
+    grid = (nb, T)
+
+    dxw, dwh_parts, dbh_parts = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BT, H3), lambda i, t: (T - 1 - t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, BT), lambda i, t: (T - 1 - t, 0, i), memory_space=pltpu.VMEM),
+            # h_{t-1} = y[ta - 1] (clamped; value replaced by zeros at ta=0)
+            pl.BlockSpec(
+                (1, BT, H),
+                lambda i, t: (jnp.maximum(T - 2 - t, 0), i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, BT, H), lambda i, t: (T - 1 - t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda i, t: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H3), lambda i, t: (T - 1 - t, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, H3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H3), lambda i, t: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H3), xw_tm.dtype),
+            jax.ShapeDtypeStruct((nb, H, H3), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, H3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BT, H), jnp.float32),
+            pltpu.VMEM((H, H3), jnp.float32),
+            pltpu.VMEM((1, H3), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xw_tm, wh, bh.reshape(1, H3), mask_tm, y_tm, gy_tm, g_hfin)
+    dwh = jnp.sum(dwh_parts, axis=0).astype(wh.dtype)
+    dbh = jnp.sum(dbh_parts, axis=(0, 1)).astype(bh.dtype)
+    return dxw, dwh, dbh
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper (time-major internal, batch-major public API)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gru_scan_fused(xw_tm, wh, bh, mask_tm):
+    return _forward(xw_tm, wh, bh, mask_tm)
+
+
+def _fused_fwd(xw_tm, wh, bh, mask_tm):
+    y, hfin = _forward(xw_tm, wh, bh, mask_tm)
+    return (y, hfin), (xw_tm, wh, bh, mask_tm, y)
+
+
+def _fused_bwd(res, cot):
+    xw_tm, wh, bh, mask_tm, y = res
+    gy_tm, g_hfin = cot
+    dxw, dwh, dbh = _backward(xw_tm, wh, bh, mask_tm, y, gy_tm, g_hfin)
+    return dxw, dwh, dbh, jnp.zeros_like(mask_tm)
+
+
+_gru_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def gru_scan_pallas(
+    xw: jax.Array,  # (B, T, 3H) precomputed x W_i + b_i
+    wh: jax.Array,  # (H, 3H)
+    bh: jax.Array,  # (3H,)
+    mask: Optional[jax.Array] = None,  # (B, T) float; None = no masking
+    reverse: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ``models.gru._gru_scan``.
+
+    Returns (output_seq (B, T, H), final_h (B, H)).
+    """
+    B, T, H3 = xw.shape
+    if mask is None:
+        mask = jnp.ones((B, T), dtype=jnp.float32)
+    mask = mask.astype(jnp.float32)  # f32 mask regardless of compute dtype
+    # (bf16 minor-dim inserts are unsupported by Mosaic)
+    if reverse:
+        xw = jnp.flip(xw, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    xw_tm = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H)
+    # (T, 8, B): mask replicated across 8 sublanes so its Pallas blocks
+    # (1, 8, BT) satisfy TPU tiling; ~32B/sample overhead, fully streamed.
+    mask_tm = jnp.broadcast_to(
+        jnp.swapaxes(mask, 0, 1)[:, None, :], (T, 8, B)
+    )
+    y_tm, hfin = _gru_scan_fused(xw_tm, wh, bh, mask_tm)
+    y = jnp.swapaxes(y_tm, 0, 1)
+    if reverse:
+        y = jnp.flip(y, axis=1)
+    return y, hfin
