@@ -109,6 +109,15 @@ class EvalProtocol:
             unpopular_mask = jnp.zeros((self.num_actions,), dtype=bool)
         self.unpopular_mask = jnp.asarray(unpopular_mask)
         self.out_to_in = None if out_to_in is None else jnp.asarray(out_to_in)
+        # aux arrays ride as jit ARGUMENTS (closure-captured device arrays
+        # become HLO literal constants, which the TPU compile path handles
+        # pathologically slowly — minutes per program).
+        self._aux = {
+            "div_embedding": self.div_embedding,
+            "unpopular_mask": self.unpopular_mask,
+        }
+        if self.out_to_in is not None:
+            self._aux["out_to_in"] = self.out_to_in
         self._update = jax.jit(self._batch_update, donate_argnums=(1,))
 
     # -- accumulators ------------------------------------------------------
@@ -135,7 +144,11 @@ class EvalProtocol:
         action: jax.Array,
         true_len: jax.Array,
         valid: jax.Array,
+        aux: Any,
     ) -> EvalAccum:
+        div_embedding = aux["div_embedding"]
+        unpopular_mask = aux["unpopular_mask"]
+        out_to_in = aux.get("out_to_in")
         outs = apply_model(params, self.model_cfg, state, true_len)
         preds = outs[self.head_idx]
 
@@ -149,15 +162,13 @@ class EvalProtocol:
             true_len,
             self.padding_pos,
             self.topk_div,
-            self.div_embedding,
-            out_to_in=self.out_to_in,
+            div_embedding,
+            out_to_in=out_to_in,
         )
-        nov = novelty_rewards(
-            preds, self.unpopular_mask, self.nov_rew_sig, self.topk_nov
-        )
+        nov = novelty_rewards(preds, unpopular_mask, self.nov_rew_sig, self.topk_nov)
         hits, ndcg = hr_ndcg_at_k(preds, action, self.topk_hr_ndcg, valid=valid)
         reps = repetition_counts(
-            state, preds, self.topk_hr_ndcg, out_to_in=self.out_to_in, valid=valid
+            state, preds, self.topk_hr_ndcg, out_to_in=out_to_in, valid=valid
         )
         covered = update_coverage(accum.covered, preds, self.topk_cov, valid=valid)
 
@@ -174,7 +185,7 @@ class EvalProtocol:
         )
 
     def update(self, params, accum, state, action, true_len, valid) -> EvalAccum:
-        return self._update(params, accum, state, action, true_len, valid)
+        return self._update(params, accum, state, action, true_len, valid, self._aux)
 
     # -- normalization -----------------------------------------------------
     def finalize(self, accum: EvalAccum) -> EvalResult:
@@ -211,4 +222,54 @@ class EvalProtocol:
                 jnp.asarray(b.true_len),
                 jnp.asarray(b.valid),
             )
+        return self.finalize(accum)
+
+    # -- device-resident scanned evaluation (one dispatch for the pass) ----
+    @staticmethod
+    def device_eval_data(eval_buf) -> Dict[str, jax.Array]:
+        return {
+            "state": jnp.asarray(eval_buf.state),
+            "action": jnp.asarray(eval_buf.action),
+            "true_len": jnp.asarray(eval_buf.true_len),
+        }
+
+    def _scanned_update(self, params, accum, data, idx_mat, valid_mat, aux):
+        def body(acc, xs):
+            idx, valid = xs
+            acc = self._batch_update(
+                params,
+                acc,
+                jnp.take(data["state"], idx, axis=0),
+                jnp.take(data["action"], idx, axis=0),
+                jnp.take(data["true_len"], idx, axis=0),
+                valid,
+                aux,
+            )
+            return acc, None
+
+        accum, _ = jax.lax.scan(body, accum, (idx_mat, valid_mat))
+        return accum
+
+    def evaluate_device(self, params, data: Dict[str, jax.Array], batch_size: int) -> EvalResult:
+        """Whole eval pass as ONE jitted lax.scan over a device-resident
+        buffer — no per-batch host dispatch or transfer."""
+        if not hasattr(self, "_scan_jit"):
+            self._scan_jit = jax.jit(self._scanned_update, donate_argnums=(1,))
+        n = int(data["state"].shape[0])
+        n_b = -(-n // batch_size)
+        idx = np.zeros((n_b, batch_size), dtype=np.int32)
+        valid = np.zeros((n_b, batch_size), dtype=bool)
+        rows = np.arange(n)
+        for i in range(n_b):
+            take = rows[i * batch_size : (i + 1) * batch_size]
+            idx[i, : len(take)] = take
+            valid[i, : len(take)] = True
+        accum = self._scan_jit(
+            params,
+            self.init_accum(),
+            data,
+            jnp.asarray(idx),
+            jnp.asarray(valid),
+            self._aux,
+        )
         return self.finalize(accum)

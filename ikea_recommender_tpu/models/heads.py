@@ -46,11 +46,15 @@ def linear_apply(params: Dict[str, jax.Array], h: jax.Array) -> jax.Array:
 def init_multihead(
     key: jax.Array, num_heads: int, in_dim: int, out_dim: int, dtype=jnp.float32
 ) -> Dict[str, jax.Array]:
+    """Kernel layout (F, K, A): the apply reshapes it to (F, K*A) — a free
+    bitcast — so forward AND backward are single plain MXU matmuls. (A
+    direct `bf,kfa->bka` einsum's transposed gradient contraction lowers
+    pathologically on TPU: ~150s compile at the reference's shapes.)"""
     k_w, k_b = jax.random.split(key)
     bound = 1.0 / jnp.sqrt(in_dim)
     return {
         "kernel": jax.random.uniform(
-            k_w, (num_heads, in_dim, out_dim), dtype=dtype, minval=-bound, maxval=bound
+            k_w, (in_dim, num_heads, out_dim), dtype=dtype, minval=-bound, maxval=bound
         ),
         "bias": jax.random.uniform(
             k_b, (num_heads, out_dim), dtype=dtype, minval=-bound, maxval=bound
@@ -60,11 +64,11 @@ def init_multihead(
 
 def multihead_apply(params: Dict[str, jax.Array], h: jax.Array) -> jax.Array:
     """(B, F) -> (B, K, A) stacked Q-head outputs."""
-    out = jnp.einsum(
-        "bf,kfa->bka",
+    F, K, A = params["kernel"].shape
+    out = jnp.dot(
         h,
-        params["kernel"],
+        params["kernel"].reshape(F, K * A),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(h.dtype),
     )
-    return out + params["bias"][None, :, :]
+    return out.reshape(h.shape[0], K, A) + params["bias"][None, :, :]

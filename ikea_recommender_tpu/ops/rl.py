@@ -27,8 +27,11 @@ def weighted_q_loss(q_vals: jax.Array, w: jax.Array) -> jax.Array:
 
 def get_weighted_q_target(q_vals: jax.Array, w: jax.Array) -> jax.Array:
     """(B, K, A) x (K,) -> (B, A) weighted head-sum
-    (reference ``tensor_operations.py:51-71``)."""
-    return jnp.einsum("bka,k->ba", q_vals, w)
+    (reference ``tensor_operations.py:51-71``).
+
+    Broadcast-multiply + reduce, NOT an einsum: the ``bka,k->ba``
+    contraction lowers pathologically on TPU (~2 min compile)."""
+    return jnp.sum(q_vals * w[None, :, None], axis=1)
 
 
 def get_max_action(q_vals: jax.Array) -> jax.Array:

@@ -92,20 +92,25 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
 
 
 def make_sharded_train_step(
-    step_fn: Callable,
+    step,
     mesh: Mesh,
     state_template: Any,
     batch_template: Any,
-    metrics_replicated: bool = True,
 ) -> Callable:
-    """jit the train step with explicit in/out shardings over the mesh."""
+    """jit a TrainStep's raw fn with explicit in/out shardings over the mesh.
+
+    ``step`` is a ``train.steps.TrainStep`` (its aux arrays ride along as a
+    replicated jit argument — never closure constants, see TrainStep).
+    """
     st_sh = state_shardings(state_template, mesh)
     b_sh = batch_sharding_tree(batch_template, mesh)
     rep = NamedSharding(mesh, P())
+    aux_sh = jax.tree.map(lambda _: rep, step.aux)
     out_sh = (st_sh, jax.tree.map(lambda _: rep, {"sup_loss": 0.0, "q_loss": 0.0}))
-    return jax.jit(
-        step_fn,
-        in_shardings=(st_sh, b_sh),
+    jitted = jax.jit(
+        step.raw,
+        in_shardings=(st_sh, b_sh, aux_sh),
         out_shardings=out_sh,
         donate_argnums=(0,),
     )
+    return lambda state, batch: jitted(state, batch, step.aux)

@@ -43,9 +43,7 @@ from ikea_recommender_tpu.data.item_frequency import (
 from ikea_recommender_tpu.data.replay_buffer import (
     EvalBuffer,
     ReplayBuffer,
-    eval_batches,
     num_batches,
-    train_batches,
 )
 from ikea_recommender_tpu.data.tokenizer import Tokenizer, build_output_to_input_table
 from ikea_recommender_tpu.eval.protocol import EvalProtocol, EvalResult
@@ -57,11 +55,7 @@ from ikea_recommender_tpu.train.state import (
     make_train_state,
     select_net,
 )
-from ikea_recommender_tpu.train.steps import (
-    RLStepConfig,
-    batch_to_device_dict,
-    make_train_step,
-)
+from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
 from ikea_recommender_tpu.utils.logging_dicts import (
     get_logging_dict_test,
     get_logging_dict_train,
@@ -96,8 +90,101 @@ class TrainOutcome:
 def _eval_params_list(state, family):
     """Networks to evaluate: [net1] or [net1, net2] for double-Q."""
     if family in DOUBLE_Q_FAMILIES:
-        return [select_net(state.params, 0), select_net(state.params, 1)]
+        nets = jax.jit(lambda p: (select_net(p, 0), select_net(p, 1)))(state.params)
+        return list(nets)
     return [state.params]
+
+
+def _device_train_data(buf: ReplayBuffer) -> Dict[str, jnp.ndarray]:
+    """Ship the whole replay buffer to device HBM once (the reference
+    re-ships every batch from host). RetailRocket scale is ~120MB."""
+    return {
+        "state": jnp.asarray(buf.state),
+        "action": jnp.asarray(buf.action),
+        "reward": jnp.asarray(buf.reward),
+        "next_state": jnp.asarray(buf.next_state),
+        "true_len": jnp.asarray(buf.true_len),
+        "true_next_len": jnp.asarray(buf.true_next_len),
+        "is_end": jnp.asarray(buf.is_end),
+    }
+
+
+def _window_index_matrices(perm: np.ndarray, batch_size: int):
+    """Shuffled row permutation -> (idx (n_b, B), valid (n_b, B)); the tail
+    batch is padded with row 0 and masked."""
+    n = len(perm)
+    n_b = -(-n // batch_size)
+    idx = np.zeros((n_b, batch_size), dtype=np.int32)
+    valid = np.zeros((n_b, batch_size), dtype=bool)
+    for i in range(n_b):
+        take = perm[i * batch_size : (i + 1) * batch_size]
+        idx[i, : len(take)] = take
+        valid[i, : len(take)] = True
+    return idx, valid
+
+
+def _make_window_runner(step, protocol, family):
+    """One jitted dispatch per eval WINDOW: lax.scan over batches, each
+    iteration gathering its batch from the device-resident buffer, running
+    the optimizer step, and accumulating train metrics + loss sums. Host
+    work per window: one (n_b, B) int32 index upload."""
+
+    def run(state, accum, losses, data, idx_mat, valid_mat, step_aux, proto_aux):
+        def body(carry, xs):
+            state, accum, losses = carry
+            idx, valid = xs
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            batch["valid"] = valid
+            new_state, metrics = step.raw(state, batch, step_aux)
+            params = (
+                select_net(new_state.params, 0)
+                if family in DOUBLE_Q_FAMILIES
+                else new_state.params
+            )
+            new_accum = protocol._batch_update(
+                params,
+                accum,
+                batch["state"],
+                batch["action"],
+                batch["true_len"],
+                batch["valid"],
+                proto_aux,
+            )
+            new_losses = {
+                "sup": losses["sup"] + metrics["sup_loss"],
+                "q": losses["q"] + metrics["q_loss"],
+                "n": losses["n"] + 1,
+            }
+            return (new_state, new_accum, new_losses), None
+
+        (state, accum, losses), _ = jax.lax.scan(
+            body, (state, accum, losses), (idx_mat, valid_mat)
+        )
+        return state, accum, losses
+
+    jitted = jax.jit(run, donate_argnums=(0, 1, 2))
+
+    def call(state, accum, losses, data, idx_mat, valid_mat):
+        return jitted(
+            state,
+            accum,
+            losses,
+            data,
+            jnp.asarray(idx_mat),
+            jnp.asarray(valid_mat),
+            step.aux,
+            protocol._aux,
+        )
+
+    return call
+
+
+def _zero_losses():
+    return {
+        "sup": jnp.zeros(()),
+        "q": jnp.zeros(()),
+        "n": jnp.zeros((), jnp.int32),
+    }
 
 
 def train(
@@ -214,11 +301,21 @@ def train(
                 start_epoch = int(ckpt_mngr.latest_step())
                 print(f"[resume] restored checkpoint, continuing at epoch {start_epoch}")
 
+    # ---- device-resident data + window runner ---------------------------
+    train_data = _device_train_data(train_buf)
+    val_data = EvalProtocol.device_eval_data(val_buf)
+    test_data = (
+        EvalProtocol.device_eval_data(test_buf) if real_test else val_data
+    )
+    run_window = _make_window_runner(step_fn, protocol, family)
+
     # ---- warmup eval (reference does one pre-training eval) -------------
-    _ = protocol.evaluate(_eval_params_list(state, family)[0], val_buf, t_cfg.val_batch_size)
+    _ = protocol.evaluate_device(
+        _eval_params_list(state, family)[0], val_data, t_cfg.val_batch_size
+    )
 
     n_b = num_batches(len(train_buf), t_cfg.batch_size)
-    eval_idx = {int(n_b * p) for p in t_cfg.eval_at}
+    boundaries = sorted({int(n_b * p) for p in t_cfg.eval_at} - {0})
 
     logs: List[Dict[str, float]] = []
     log_counter = 0
@@ -227,86 +324,88 @@ def train(
 
     for epoch in range(start_epoch, t_cfg.epochs):
         rng = np.random.default_rng(cfg.seed * 100_003 + epoch)
+        idx_all, valid_all = _window_index_matrices(
+            rng.permutation(len(train_buf)).astype(np.int32), t_cfg.batch_size
+        )
         train_accum = protocol.init_accum()
-        window_sup_loss = 0.0
-        window_q_loss = 0.0
-        window_batches = 0
+        losses = _zero_losses()
 
-        for n_batch, batch in enumerate(
-            train_batches(train_buf, t_cfg.batch_size, rng=rng)
-        ):
-            dev_batch = batch_to_device_dict(batch)
-            t0 = time.perf_counter()
-            state, metrics = step_fn(state, dev_batch)
-            # train metrics with the post-step params (reference order)
-            eval_net = _eval_params_list(state, family)[0]
-            train_accum = protocol.update(
-                eval_net,
-                train_accum,
-                dev_batch["state"],
-                dev_batch["action"],
-                dev_batch["true_len"],
-                dev_batch["valid"],
-            )
-            window_sup_loss += float(metrics["sup_loss"])
-            window_q_loss += float(metrics["q_loss"])
-            window_batches += 1
-            train_time += time.perf_counter() - t0
-            total_sessions += int(batch.valid.sum())
-
-            if (n_batch + 1) in eval_idx:
-                train_res = protocol.finalize(train_accum)
-                nets = _eval_params_list(state, family)
-                val_results = [
-                    protocol.evaluate(p, val_buf, t_cfg.val_batch_size) for p in nets
-                ]
-                q_included = family != "gru4rec" and family != "bidir_gru4rec"
-                log_dict = get_logging_dict_train(
-                    train_sup_loss=window_sup_loss / max(window_batches, 1),
-                    train_q_loss=window_q_loss / max(window_batches, 1),
-                    train_res=train_res,
-                    val_res=val_results[0],
-                    topk_hr_ndcg=m_cfg.topk_hr_ndcg,
-                    topk_cov=m_cfg.topk_cov,
-                    q_included=q_included,
+        # Train/eval spans: one per boundary, plus a train-only tail if the
+        # last eval point is before the epoch end.
+        spans = [(lo, hi, True) for lo, hi in zip([0] + boundaries, boundaries)]
+        if boundaries and boundaries[-1] < n_b:
+            spans.append((boundaries[-1], n_b, False))
+        for lo, hi, do_eval in spans:
+            if hi > lo:
+                t0 = time.perf_counter()
+                # ONE dispatch for the whole window: scan of (step + metrics)
+                state, train_accum, losses = run_window(
+                    state,
+                    train_accum,
+                    losses,
+                    train_data,
+                    idx_all[lo:hi],
+                    valid_all[lo:hi],
                 )
-                if len(val_results) > 1:
-                    log_dict.update(
-                        get_logging_dict_train(
-                            train_sup_loss=0.0,
-                            train_q_loss=None,
-                            train_res=train_res,
-                            val_res=val_results[1],
-                            topk_hr_ndcg=m_cfg.topk_hr_ndcg,
-                            topk_cov=m_cfg.topk_cov,
-                            q_included=False,
-                            prefix="Sec_",
-                        )
-                    )
+                win = jax.device_get(losses)  # window loss sums (sync)
+                train_time += time.perf_counter() - t0
+                total_sessions += int(valid_all[lo:hi].sum())
+            if not do_eval:
+                continue
 
-                # Best-model bookkeeping: double-Q saves the winning net.
-                metric_name = tracker.metric_name
-                candidates = [(log_dict.get(metric_name, -np.inf), 1, nets[0])]
-                if len(nets) > 1:
-                    candidates.append(
-                        (log_dict.get(f"Sec_{metric_name}", -np.inf), 2, nets[1])
+            n_win = max(int(win["n"]), 1)
+            train_res = protocol.finalize(train_accum)
+            nets = _eval_params_list(state, family)
+            val_results = [
+                protocol.evaluate_device(p, val_data, t_cfg.val_batch_size)
+                for p in nets
+            ]
+            q_included = family != "gru4rec" and family != "bidir_gru4rec"
+            log_dict = get_logging_dict_train(
+                train_sup_loss=float(win["sup"]) / n_win,
+                train_q_loss=float(win["q"]) / n_win,
+                train_res=train_res,
+                val_res=val_results[0],
+                topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+                topk_cov=m_cfg.topk_cov,
+                q_included=q_included,
+            )
+            if len(val_results) > 1:
+                log_dict.update(
+                    get_logging_dict_train(
+                        train_sup_loss=0.0,
+                        train_q_loss=None,
+                        train_res=train_res,
+                        val_res=val_results[1],
+                        topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+                        topk_cov=m_cfg.topk_cov,
+                        q_included=False,
+                        prefix="Sec_",
                     )
-                value, model_idx, winner = max(candidates, key=lambda c: c[0])
-                tracker(value, epoch=log_counter, params=winner, model_idx=model_idx, dims=dims)
+                )
 
-                logs.append(log_dict)
-                if log_fn is not None:
-                    log_fn(log_dict, log_counter)
-                if progress:
-                    print(
-                        f"epoch {epoch+1} batch {n_batch+1}/{n_b} "
-                        f"{metric_name}={value:.5f} (best {tracker.best:.5f})"
-                    )
-                log_counter += 1
-                # reset the training window (reference trainGRU.py:385-395)
-                train_accum = protocol.init_accum()
-                window_sup_loss = window_q_loss = 0.0
-                window_batches = 0
+            # Best-model bookkeeping: double-Q saves the winning net.
+            metric_name = tracker.metric_name
+            candidates = [(log_dict.get(metric_name, -np.inf), 1, nets[0])]
+            if len(nets) > 1:
+                candidates.append(
+                    (log_dict.get(f"Sec_{metric_name}", -np.inf), 2, nets[1])
+                )
+            value, model_idx, winner = max(candidates, key=lambda c: c[0])
+            tracker(value, epoch=log_counter, params=winner, model_idx=model_idx, dims=dims)
+
+            logs.append(log_dict)
+            if log_fn is not None:
+                log_fn(log_dict, log_counter)
+            if progress:
+                print(
+                    f"epoch {epoch+1} batch {hi}/{n_b} "
+                    f"{metric_name}={value:.5f} (best {tracker.best:.5f})"
+                )
+            log_counter += 1
+            # reset the training window (reference trainGRU.py:385-395)
+            train_accum = protocol.init_accum()
+            losses = _zero_losses()
 
         if ckpt_mngr is not None:
             ckpt_mngr.save(epoch + 1, state)
@@ -317,7 +416,7 @@ def train(
         best_params = tracker.load_best(template)
     else:
         best_params = template
-    test_res = protocol.evaluate(best_params, test_buf, t_cfg.val_batch_size)
+    test_res = protocol.evaluate_device(best_params, test_data, t_cfg.val_batch_size)
     test_metrics = get_logging_dict_test(
         test_res,
         topk_hr_ndcg=m_cfg.topk_hr_ndcg,

@@ -322,8 +322,31 @@ def sarm_train_step(
 
 
 # ---------------------------------------------------------------------------
-# Factory: family -> jitted step closure
+# Factory: family -> jitted step
 # ---------------------------------------------------------------------------
+
+
+class TrainStep:
+    """Callable train step with auxiliary device arrays threaded as jit
+    ARGUMENTS, never closure constants.
+
+    Closure-captured device arrays become literal constants in the HLO;
+    the TPU compile path handles large literal constants pathologically
+    (minutes per program observed for a ~50KB constant). ``raw`` has
+    signature ``(state, batch, aux) -> (state, metrics)`` so sharded
+    wrappers can re-jit it with explicit shardings.
+    """
+
+    def __init__(self, raw: Callable, aux: Dict[str, jax.Array], jit: bool = True, donate: bool = True):
+        self.raw = raw
+        self.aux = aux
+        if jit:
+            self._fn = jax.jit(raw, donate_argnums=(0,) if donate else ())
+        else:
+            self._fn = raw
+
+    def __call__(self, state, batch):
+        return self._fn(state, batch, self.aux)
 
 
 def make_train_step(
@@ -336,33 +359,35 @@ def make_train_step(
     out_to_in: Optional[jax.Array] = None,
     jit: bool = True,
     donate: bool = True,
-) -> Callable:
+) -> TrainStep:
     """Build `step(state, batch) -> (state, metrics)` for the family."""
     fam = model_cfg.family
+    aux: Dict[str, jax.Array] = {}
     if fam in ("gru4rec", "bidir_gru4rec"):
-        fn = lambda state, batch: ce_train_step(state, batch, model_cfg, opt)
+        raw = lambda state, batch, aux: ce_train_step(state, batch, model_cfg, opt)
     elif fam == "sqn":
-        fn = lambda state, batch: sqn_train_step(state, batch, model_cfg, opt, rl)
+        raw = lambda state, batch, aux: sqn_train_step(state, batch, model_cfg, opt, rl)
     elif fam == "smorl":
         if div_embedding is None or unpopular_mask is None:
             raise ValueError("SMORL needs div_embedding and unpopular_mask")
-        fn = lambda state, batch: smorl_train_step(
+        aux = {"div_embedding": div_embedding, "unpopular_mask": unpopular_mask}
+        if out_to_in is not None:
+            aux["out_to_in"] = out_to_in
+        raw = lambda state, batch, aux: smorl_train_step(
             state,
             batch,
             model_cfg,
             opt,
             rl,
-            div_embedding=div_embedding,
-            unpopular_mask=unpopular_mask,
-            out_to_in=out_to_in,
+            div_embedding=aux["div_embedding"],
+            unpopular_mask=aux["unpopular_mask"],
+            out_to_in=aux.get("out_to_in"),
         )
     elif fam == "sarm":
-        fn = lambda state, batch: sarm_train_step(state, batch, model_cfg, opt, rl)
+        raw = lambda state, batch, aux: sarm_train_step(state, batch, model_cfg, opt, rl)
     else:
         raise ValueError(f"unknown family {fam}")
-    if jit:
-        return jax.jit(fn, donate_argnums=(0,) if donate else ())
-    return fn
+    return TrainStep(raw, aux, jit=jit, donate=donate)
 
 
 def batch_to_device_dict(batch) -> Dict[str, jnp.ndarray]:
