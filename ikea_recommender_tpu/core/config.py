@@ -113,6 +113,9 @@ class TrainConfig:
     # Resume support (an upgrade over the reference, which has none).
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # jax.profiler trace of the first training window (view in Perfetto /
+    # TensorBoard). The reference has no tracing at all (SURVEY.md §5).
+    profile_dir: Optional[str] = None
 
 
 @dataclass

@@ -59,3 +59,36 @@ def hr_ndcg_at_k(
         hits.append(jnp.sum(hit_k))
         ndcgs.append(jnp.sum(ndcg_k))
     return jnp.stack(hits).astype(jnp.float32), jnp.stack(ndcgs)
+
+
+def hr_ndcg_by_action_type(
+    predictions: jax.Array,
+    true_idx: jax.Array,
+    action_types: jax.Array,  # (B,) int in [0, num_types)
+    num_types: int,
+    top_k: Sequence[int],
+    valid: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-action-type HR/NDCG sums — the old-generation eval capability
+    (reference ``old/sqn_evaluation_old.py:13-291``: separate HR/NDCG dicts
+    for click vs buy events) as one fused segment-sum.
+
+    Returns (hits (num_types, n_k), ndcg (num_types, n_k), counts (num_types,)).
+    """
+    max_k = max(top_k)
+    idx = topk_indices(predictions, max_k)
+    hit, rank = hit_ranks(idx, true_idx)
+    if valid is None:
+        valid = jnp.ones_like(hit)
+    onehot = jax.nn.one_hot(action_types, num_types, dtype=jnp.float32)  # (B, T)
+    onehot = onehot * valid[:, None]
+    hits, ndcgs = [], []
+    for k in top_k:
+        hit_k = (hit & (rank <= k)).astype(jnp.float32)
+        ndcg_k = jnp.where(
+            hit_k > 0, 1.0 / jnp.log2(rank.astype(jnp.float32) + 1.0), 0.0
+        )
+        hits.append(onehot.T @ hit_k)  # (num_types,)
+        ndcgs.append(onehot.T @ ndcg_k)
+    counts = jnp.sum(onehot, axis=0)
+    return jnp.stack(hits, axis=1), jnp.stack(ndcgs, axis=1), counts

@@ -335,7 +335,12 @@ def train(
         spans = [(lo, hi, True) for lo, hi in zip([0] + boundaries, boundaries)]
         if boundaries and boundaries[-1] < n_b:
             spans.append((boundaries[-1], n_b, False))
-        for lo, hi, do_eval in spans:
+        for span_i, (lo, hi, do_eval) in enumerate(spans):
+            profiling = (
+                t_cfg.profile_dir is not None and epoch == start_epoch and span_i == 0
+            )
+            if profiling:
+                jax.profiler.start_trace(t_cfg.profile_dir)
             if hi > lo:
                 t0 = time.perf_counter()
                 # ONE dispatch for the whole window: scan of (step + metrics)
@@ -350,6 +355,8 @@ def train(
                 win = jax.device_get(losses)  # window loss sums (sync)
                 train_time += time.perf_counter() - t0
                 total_sessions += int(valid_all[lo:hi].sum())
+            if profiling:
+                jax.profiler.stop_trace()
             if not do_eval:
                 continue
 
