@@ -100,6 +100,10 @@ class TrainConfig:
     # MXU fed; fp32 params keep Adam stable.
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # Fused Pallas softmax-CE for the supervised head in train steps
+    # (ops/fused_ce.py): sup logits never materialize in HBM. Applies to
+    # gru4rec / bidir_gru4rec / sqn; auto-disabled for model-sharded runs.
+    fused_ce: bool = True
     # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
     # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of
     # true_next_len (sqn_gru.py:231, smorl_gru.py:291).

@@ -39,6 +39,11 @@ from ikea_recommender_tpu.models.heads import (
 
 FAMILIES = ("gru4rec", "bidir_gru4rec", "sqn", "smorl", "sarm")
 
+# Below this catalog size the fused-CE kernel's fixed per-call cost beats its
+# HBM-traffic savings (measured: 200-item synthetic runs ~12% slower fused,
+# the 70852-item RetailRocket point ~18% faster).
+FUSED_CE_MIN_ACTIONS = 8192
+
 
 @dataclass(frozen=True)
 class ModelConfig:
@@ -50,6 +55,12 @@ class ModelConfig:
     # divisibility + aligned TPU tiles). Padded logits are masked to -1e9
     # so softmax / top-k / argmax semantics are untouched. 1 = exact dims.
     action_align: int = 1
+    # Compute the supervised CE through the fused Pallas kernel
+    # (ops/fused_ce.py) — logits never hit HBM. Only affects TRAIN steps of
+    # families whose sup logits aren't otherwise needed in-step (gru4rec /
+    # bidir / sqn); eval always materializes logits for top-k. Forced off
+    # for model-axis-sharded runs (the sharded CE kernels own that path).
+    fused_ce: bool = False
 
     def __post_init__(self):
         if self.family not in FAMILIES:
@@ -94,6 +105,11 @@ def model_config_from_train(train_cfg, data_cfg, align: int = 1) -> ModelConfig:
         action_dim=data_cfg.num_actions,
         num_q_heads=num_q,
         action_align=align,
+        fused_ce=(
+            getattr(train_cfg, "fused_ce", False)
+            and align == 1
+            and data_cfg.num_actions >= FUSED_CE_MIN_ACTIONS
+        ),
     )
 
 
@@ -114,6 +130,35 @@ def init_model(key: jax.Array, cfg: ModelConfig) -> Dict:
     return params
 
 
+def apply_features(
+    params: Dict,
+    cfg: ModelConfig,
+    states: jax.Array,
+    lengths: jax.Array,
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Backbone features (B, F) — the input every head shares."""
+    return apply_backbone(
+        params["backbone"],
+        cfg.backbone,
+        states,
+        lengths,
+        dropout_rng=dropout_rng,
+        deterministic=deterministic,
+    )
+
+
+def mask_pad_logits(cfg: ModelConfig, logits: jax.Array) -> jax.Array:
+    """Padded action slots never win softmax / top-k / argmax."""
+    n_pad = cfg.padded_action_dim - cfg.action_dim
+    if n_pad == 0:
+        return logits
+    neg = jnp.full(logits.shape[:-1] + (n_pad,), -1e9, dtype=logits.dtype)
+    return jnp.concatenate([logits[..., : cfg.action_dim], neg], axis=-1)
+
+
 def apply_model(
     params: Dict,
     cfg: ModelConfig,
@@ -130,23 +175,13 @@ def apply_model(
     smorl: (sup_logits, q_all (B, K, A))
     sarm:  (head_0, ..., head_4) each (B, A)
     """
-    h = apply_backbone(
-        params["backbone"],
-        cfg.backbone,
-        states,
-        lengths,
-        dropout_rng=dropout_rng,
-        deterministic=deterministic,
+    h = apply_features(
+        params, cfg, states, lengths,
+        dropout_rng=dropout_rng, deterministic=deterministic,
     )
 
-    n_pad = cfg.padded_action_dim - cfg.action_dim
-
     def mask_pad(logits):
-        # Padded action slots never win softmax / top-k / argmax.
-        if n_pad == 0:
-            return logits
-        neg = jnp.full(logits.shape[:-1] + (n_pad,), -1e9, dtype=logits.dtype)
-        return jnp.concatenate([logits[..., : cfg.action_dim], neg], axis=-1)
+        return mask_pad_logits(cfg, logits)
 
     if cfg.family == "sarm":
         q_all = mask_pad(multihead_apply(params["q_heads"], h))  # (B, 5, A)

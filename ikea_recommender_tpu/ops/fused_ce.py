@@ -1,0 +1,267 @@
+"""Fused full-catalog softmax cross-entropy (Pallas TPU kernel).
+
+The supervised head's CE over the whole catalog is the HBM-traffic hot spot
+of every train step: at the reference's RetailRocket operating point the
+(B=256, A=70852) fp32 logits are 72MB, and the unfused path materializes
+them several times per step (forward matmul output, softmax read, backward
+dlogits, two backward matmul reads). The reference pays the same cost in
+cuBLAS + the torch CE kernel (``models/GRU4Rec/model.py:131-158``).
+
+This kernel never writes logits to HBM. It streams the head weight matrix
+(F, A) through VMEM in action-dim blocks:
+
+- forward: online (flash-style) logsumexp over blocks + label-logit gather
+  by index compare; emits per-example ``lse`` and ``label_logit`` only.
+- backward (custom VJP): recomputes each logits block from (h, W_blk) in
+  VMEM, forms ``dlogits = (softmax - onehot) * ct`` blockwise, and
+  accumulates ``dh`` in VMEM scratch while writing ``dW``/``db`` blocks —
+  the only HBM traffic is W read (fwd+bwd) and dW/db written once.
+
+Per-step HBM traffic for the head drops from ~5 logits passes (~360MB) to
+~3 W passes (~54MB). Numerics are fp32 and match
+``optax.softmax_cross_entropy_with_integer_labels`` to float tolerance.
+
+Padded action columns (``ModelConfig.action_align`` > 1) are masked inside
+the kernel (logits -inf, dlogits 0) via the static ``valid_dim``, matching
+the -1e9 mask semantics of the unfused head path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+# fp32 MXU passes: "highest" = true-fp32 6-pass (matches the repo's fp32
+# parity policy, models/gru.py:matmul_precision); "default" = bf16x3.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block(A: int) -> int:
+    # One W block (F<=256, BLK) fp32 plus a (B, BLK) logits tile must sit in
+    # VMEM with double buffering; 2048 keeps the working set ~3MB at the
+    # reference shapes while amortizing the per-block fixed cost.
+    for blk in (2048, 1024, 512, 256, 128):
+        if A % blk == 0 or A > blk:
+            return blk
+    return 128
+
+
+# ---------------------------------------------------------------------------
+# forward: online logsumexp + label logit
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, lbl_logit_ref,
+                m_acc, s_acc, g_acc, *, valid_dim: int, block: int, prec):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, _NEG)
+        s_acc[:] = jnp.zeros_like(s_acc)
+        g_acc[:] = jnp.zeros_like(g_acc)
+
+    logits = (
+        jnp.dot(
+            h_ref[:],
+            w_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        + b_ref[:]
+    )  # (B, BLK) fp32
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < valid_dim, logits, _NEG)
+
+    m_old = m_acc[:]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
+    s_acc[:] = s_acc[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        jnp.exp(logits - m_new), axis=1, keepdims=True
+    )
+    m_acc[:] = m_new
+    g_acc[:] += jnp.sum(
+        jnp.where(col == lbl_ref[:], logits, 0.0), axis=1, keepdims=True
+    )
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        lse_ref[:] = m_acc[:] + jnp.log(s_acc[:])
+        lbl_logit_ref[:] = g_acc[:]
+
+
+def _fwd(h, w, b, labels, valid_dim: int, precision: str = "highest"):
+    B, F = h.shape
+    A = w.shape[1]
+    blk = _block(A)
+    grid = pl.cdiv(A, blk)
+    # Pad A so every block is full (the index mask handles the tail).
+    Ap = grid * blk
+    if Ap != A:
+        w = jnp.pad(w, ((0, 0), (0, Ap - A)))
+        b = jnp.pad(b, (0, Ap - A))
+    lbl2 = labels.astype(jnp.int32).reshape(B, 1)
+    kern = functools.partial(_fwd_kernel, valid_dim=valid_dim, block=blk, prec=_PRECISIONS[precision])
+    lse, lbl_logit = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(h.astype(jnp.float32), w, b.reshape(1, Ap), lbl2)
+    return lse[:, 0], lbl_logit[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward: blockwise (softmax - onehot) with dh accumulation
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
+                dw_ref, db_ref, dh_ref, dh_acc, *, valid_dim: int, block: int, prec):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        dh_acc[:] = jnp.zeros_like(dh_acc)
+
+    logits = (
+        jnp.dot(
+            h_ref[:],
+            w_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        + b_ref[:]
+    )
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    p = jnp.where(col < valid_dim, jnp.exp(logits - lse_ref[:]), 0.0)
+    onehot = (col == lbl_ref[:]).astype(jnp.float32)
+    dlogits = (p - onehot) * ct_ref[:]  # (B, BLK)
+
+    dw_ref[:] = jax.lax.dot_general(
+        h_ref[:], dlogits,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (F, BLK)
+    db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)
+    dh_acc[:] += jax.lax.dot_general(
+        dlogits, w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # (B, F)
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        dh_ref[:] = dh_acc[:]
+
+
+def _bwd_call(h, w, b, labels, lse, ct, valid_dim: int, precision: str = "highest"):
+    B, F = h.shape
+    A = w.shape[1]
+    blk = _block(A)
+    grid = pl.cdiv(A, blk)
+    Ap = grid * blk
+    pad = Ap - A
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        b = jnp.pad(b, (0, pad))
+    kern = functools.partial(_bwd_kernel, valid_dim=valid_dim, block=blk, prec=_PRECISIONS[precision])
+    dw, db, dh = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((F, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((1, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((B, F), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, F), jnp.float32)],
+        interpret=_interpret(),
+    )(
+        h.astype(jnp.float32),
+        w,
+        b.reshape(1, Ap),
+        labels.astype(jnp.int32).reshape(B, 1),
+        lse.reshape(B, 1),
+        ct.astype(jnp.float32).reshape(B, 1),
+    )
+    if pad:
+        dw = dw[:, :A]
+        db = db[:, :A]
+    return dh, dw, db[0]
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_softmax_ce(h, w, b, labels, valid_dim: int, precision: str = "highest"):
+    """Per-example CE(-log softmax at label) of ``h @ w + b`` without ever
+    materializing the (B, A) logits in HBM.
+
+    h: (B, F) features; w: (F, A) head kernel; b: (A,) bias;
+    labels: (B,) int; valid_dim: static count of real (unpadded) actions.
+    Returns (B,) fp32 losses. Differentiable in h, w, b.
+    """
+    lse, lbl = _fwd(h, w, b, labels, valid_dim, precision)
+    return lse - lbl
+
+
+def _vjp_fwd(h, w, b, labels, valid_dim: int, precision: str):
+    lse, lbl = _fwd(h, w, b, labels, valid_dim, precision)
+    return lse - lbl, (h, w, b, labels, lse)
+
+
+def _vjp_bwd(valid_dim: int, precision: str, res, ct):
+    h, w, b, labels, lse = res
+    dh, dw, db = _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision)
+    return dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype), None
+
+
+fused_softmax_ce.defvjp(_vjp_fwd, _vjp_bwd)

@@ -36,7 +36,14 @@ import jax.numpy as jnp
 import optax
 
 from ikea_recommender_tpu.models.backbone import embedding_grad_mask
-from ikea_recommender_tpu.models.families import ModelConfig, apply_model
+from ikea_recommender_tpu.models.families import (
+    ModelConfig,
+    apply_features,
+    apply_model,
+    mask_pad_logits,
+)
+from ikea_recommender_tpu.models.heads import linear_apply
+from ikea_recommender_tpu.ops.fused_ce import fused_softmax_ce
 from ikea_recommender_tpu.ops.rewards import diversity_rewards, novelty_rewards
 from ikea_recommender_tpu.ops.rl import (
     gather_from_3d,
@@ -78,6 +85,19 @@ def _ce_loss(logits: jax.Array, labels: jax.Array, valid: jax.Array) -> jax.Arra
     return _masked_mean(per, valid)
 
 
+def _fused_sup_ce(
+    params: Dict, cfg: ModelConfig, h: jax.Array, labels: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """Supervised CE through the fused Pallas kernel — the (B, A) sup logits
+    never hit HBM (ops/fused_ce.py). Exact same masked-mean semantics as
+    ``_ce_loss`` over ``mask_pad_logits``-masked logits."""
+    head = params["sup_head"]
+    per = fused_softmax_ce(
+        h.astype(jnp.float32), head["kernel"], head["bias"], labels, cfg.action_dim
+    )
+    return _masked_mean(per, valid)
+
+
 def _apply_grad_mask(grads: Dict, model_cfg: ModelConfig) -> Dict:
     mask = embedding_grad_mask(model_cfg.backbone)
     if mask is None:
@@ -103,6 +123,18 @@ def ce_train_step(
     rng = jax.random.fold_in(state.rng, state.step)
 
     def loss_fn(params):
+        if model_cfg.fused_ce:
+            h = apply_features(
+                params,
+                model_cfg,
+                batch["state"],
+                batch["true_len"],
+                dropout_rng=rng,
+                deterministic=(model_cfg.backbone.dropout == 0.0),
+            )
+            return _fused_sup_ce(
+                params, model_cfg, h, batch["action"], batch["valid"]
+            )
         (logits, *_rest) = apply_model(
             params,
             model_cfg,
@@ -145,7 +177,17 @@ def sqn_train_step(
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
     def loss_fn(p_main):
-        sup, q_out = apply_model(p_main, model_cfg, batch["state"], batch["true_len"])
+        if model_cfg.fused_ce:
+            h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
+            q_out = mask_pad_logits(model_cfg, linear_apply(p_main["q_head"], h))
+            sup_loss_f = _fused_sup_ce(
+                p_main, model_cfg, h, batch["action"], batch["valid"]
+            )
+        else:
+            sup, q_out = apply_model(
+                p_main, model_cfg, batch["state"], batch["true_len"]
+            )
+            sup_loss_f = _ce_loss(sup, batch["action"], batch["valid"])
         q = jnp.take_along_axis(q_out, batch["action"][:, None], axis=1).squeeze(1)
 
         # target: r + γ Q_boot(s', argmax_a Q_main(s', a)), zeroed at ends
@@ -164,8 +206,7 @@ def sqn_train_step(
 
         td = batch["reward"] + rl.gamma * q_next_boot - q
         q_loss = _masked_mean(td**2, batch["valid"])
-        sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
-        return q_loss + sup_loss, (sup_loss, q_loss)
+        return q_loss + sup_loss_f, (sup_loss_f, q_loss)
 
     (_, (sup_loss, q_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         params_main
