@@ -57,6 +57,18 @@ def _load_columns(path: str, columns):
     if path.endswith(".npz"):
         data = np.load(path)
         return {c: data[c] for c in columns if c in data}
+
+    if path.endswith(".json") or path.endswith(".jsonl"):
+        # Native multithreaded parser (native/src/jsonl_buffer.cpp) — falls
+        # back to pandas when the toolchain is unavailable.
+        from ikea_recommender_tpu.data import native
+        from ikea_recommender_tpu.data.storage import Storage
+
+        with Storage().open(path, "rb") as f:
+            raw = f.read()
+        cols = native.parse_jsonl_buffer(raw, columns)
+        if cols is not None:
+            return cols
     import pandas as pd
 
     if path.endswith(".json") or path.endswith(".jsonl"):
