@@ -4,7 +4,7 @@ state/action involve given items, and sample model rollouts."""
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -47,3 +47,40 @@ def sample_trajectories(
             history.append(pick)
         trajectories.append(history)
     return trajectories
+
+
+def predict_and_describe(
+    recommender,
+    buf: ReplayBuffer,
+    rows: Sequence[int],
+    k: int,
+    lookup_fn: Optional[Callable[[Sequence[int]], Dict[int, object]]] = None,
+) -> List[Dict]:
+    """Top-k predictions for selected buffer rows, with optional item
+    metadata attached via ``lookup_fn`` (item ids -> metadata dict).
+
+    Reference ``ikea/results/result_analysis.py:129+`` hardwires a BigQuery
+    product-image query; here the lookup is a pluggable callback (pass a
+    BigQuery-, CSV- or dict-backed function) so the framework carries no
+    cloud dependency.
+    """
+    rows = np.asarray(rows)
+    states = buf.state[rows]
+    lens = buf.true_len[rows]
+    _, idx = recommender.recommend(states, lens, k=k)
+    idx = np.asarray(idx)
+    all_ids = sorted(set(idx.ravel().tolist()) | set(buf.action[rows].tolist()))
+    meta = lookup_fn(all_ids) if lookup_fn else {}
+    out = []
+    for r, row in enumerate(rows):
+        out.append(
+            {
+                "row": int(row),
+                "state": states[r, : lens[r]].tolist(),
+                "true_action": int(buf.action[row]),
+                "predictions": [
+                    {"item": int(i), "meta": meta.get(int(i))} for i in idx[r]
+                ],
+            }
+        )
+    return out

@@ -72,3 +72,13 @@ def make_log_sinks(cfg: Config) -> Tuple[Callable[[Dict, int], None], Callable[[
             c()
 
     return log_fn, close_fn
+
+
+def export_wandb_history(run_path: str, out_csv: str) -> None:
+    """Export a wandb run's metric history to CSV (reference
+    ``ikea/data_utils/utils.py:106-118`` download_wandb_history)."""
+    import wandb  # optional dep, import-gated like the sinks
+
+    api = wandb.Api()
+    run = api.run(run_path)
+    run.history().to_csv(out_csv)

@@ -117,3 +117,30 @@ def test_process_shard_single():
 
     sl = process_shard(100)
     assert sl == slice(0, 100)
+
+
+def test_predict_and_describe_with_pluggable_lookup():
+    from ikea_recommender_tpu.analysis.trajectories import predict_and_describe
+    from ikea_recommender_tpu.data.replay_buffer import ReplayBuffer
+
+    rec = _recommender()
+    rs = np.random.RandomState(1)
+    n = 6
+    buf = ReplayBuffer(
+        state=rs.randint(0, A, (n, T)),
+        action=rs.randint(0, A, n),
+        reward=rs.rand(n),
+        next_state=rs.randint(0, A, (n, T)),
+        true_len=rs.randint(1, T + 1, n),
+        true_next_len=rs.randint(1, T + 1, n),
+        is_end=rs.rand(n) < 0.5,
+    )
+    lookup = lambda ids: {i: f"url://item/{i}" for i in ids}
+    out = predict_and_describe(rec, buf, rows=[0, 3], k=3, lookup_fn=lookup)
+    assert len(out) == 2 and out[1]["row"] == 3
+    assert len(out[0]["predictions"]) == 3
+    for p in out[0]["predictions"]:
+        assert p["meta"] == f"url://item/{p['item']}"
+    # metadata lookup is optional
+    out2 = predict_and_describe(rec, buf, rows=[1], k=2)
+    assert out2[0]["predictions"][0]["meta"] is None
