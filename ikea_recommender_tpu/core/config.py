@@ -104,6 +104,10 @@ class TrainConfig:
     # (ops/fused_ce.py): sup logits never materialize in HBM. Applies to
     # gru4rec / bidir_gru4rec / sqn; auto-disabled for model-sharded runs.
     fused_ce: bool = True
+    # "adam" (reference parity, dense) or "lazy_adam" (sparse-row embedding
+    # updates — train/lazy_adam.py; large-catalog throughput opt-in,
+    # gru4rec/bidir only, NOT bit-identical to dense Adam).
+    optimizer: str = "adam"
     # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
     # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of
     # true_next_len (sqn_gru.py:231, smorl_gru.py:291).

@@ -101,10 +101,18 @@ def apply_backbone(
     *,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    inputs_embeds: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Encode a batch of padded sessions -> (B, feature_dim) head input."""
+    """Encode a batch of padded sessions -> (B, feature_dim) head input.
+
+    ``inputs_embeds`` (B, T, E) bypasses the table gather — the lazy-Adam
+    path gathers rows OUTSIDE the grad so the embedding cotangent stays in
+    per-row form (train/lazy_adam.py) instead of a dense (V, E) scatter."""
     compute_dtype = jnp.dtype(cfg.compute_dtype)
-    x = params["embedding"].astype(compute_dtype)[states]  # (B, T, E)
+    if inputs_embeds is None:
+        x = params["embedding"].astype(compute_dtype)[states]  # (B, T, E)
+    else:
+        x = inputs_embeds.astype(compute_dtype)
     lens = lengths if cfg.masked_recurrence else None
 
     finals_fwd: List[jax.Array] = []

@@ -138,6 +138,7 @@ def apply_features(
     *,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    inputs_embeds: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Backbone features (B, F) — the input every head shares."""
     return apply_backbone(
@@ -147,6 +148,7 @@ def apply_features(
         lengths,
         dropout_rng=dropout_rng,
         deterministic=deterministic,
+        inputs_embeds=inputs_embeds,
     )
 
 

@@ -251,8 +251,19 @@ def train(
         compat_div_len_bug=t_cfg.compat_div_len_bug,
     )
     key = jax.random.key(cfg.seed)
+    lazy = t_cfg.optimizer == "lazy_adam"
+    if t_cfg.optimizer not in ("adam", "lazy_adam"):
+        raise ValueError(f"unknown optimizer {t_cfg.optimizer!r}")
+    if lazy and family not in ("gru4rec", "bidir_gru4rec"):
+        raise ValueError(
+            "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
+        )
     if family in DOUBLE_Q_FAMILIES:
         state, _ = make_double_q_state(key, model_cfg, t_cfg.learning_rate)
+    elif lazy:
+        from ikea_recommender_tpu.train.state import make_lazy_train_state
+
+        state, _ = make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)
     else:
         state, _ = make_train_state(key, model_cfg, t_cfg.learning_rate)
     step_fn = make_train_step(
@@ -262,6 +273,7 @@ def train(
         div_embedding=div_emb,
         unpopular_mask=unpop_mask,
         out_to_in=out_to_in,
+        lazy_embedding_lr=t_cfg.learning_rate if lazy else None,
         donate=True,
     )
 

@@ -93,3 +93,48 @@ def select_net(stacked: Any, idx: jax.Array) -> Any:
 def write_net(stacked: Any, idx: jax.Array, new: Any) -> Any:
     """Write network `idx` back into a stacked pytree."""
     return jax.tree.map(lambda s, n: s.at[idx].set(n), stacked, new)
+
+
+# ---------------------------------------------------------------------------
+# Lazy embedding Adam (opt-in; train/lazy_adam.py)
+# ---------------------------------------------------------------------------
+
+
+def split_embedding(params: Any) -> Tuple[jax.Array, Any]:
+    """(embedding table, params-without-embedding). The 'rest' tree is what
+    the dense optimizer owns when TrainConfig.optimizer == 'lazy_adam'."""
+    emb = params["backbone"]["embedding"]
+    rest = dict(params)
+    rest["backbone"] = {
+        k: v for k, v in params["backbone"].items() if k != "embedding"
+    }
+    return emb, rest
+
+
+def merge_embedding(rest: Any, emb: jax.Array) -> Any:
+    params = dict(rest)
+    params["backbone"] = dict(rest["backbone"])
+    params["backbone"]["embedding"] = emb
+    return params
+
+
+def make_lazy_train_state(
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    """TrainState whose opt_state is {'rest': adam-on-rest, 'emb': EmbAdamState}
+    — no dense m/v traffic for the table (see train/lazy_adam.py)."""
+    from ikea_recommender_tpu.train.lazy_adam import init_emb_adam
+
+    k_init, k_state = jax.random.split(key)
+    params = init_model(k_init, model_cfg)
+    emb, rest = split_embedding(params)
+    opt = make_optimizer(learning_rate)
+    return (
+        TrainState(
+            params=params,
+            opt_state={"rest": opt.init(rest), "emb": init_emb_adam(emb)},
+            step=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        ),
+        opt,
+    )

@@ -51,10 +51,13 @@ from ikea_recommender_tpu.ops.rl import (
     get_weighted_q_target,
     weighted_q_loss,
 )
+from ikea_recommender_tpu.train.lazy_adam import emb_adam_update
 from ikea_recommender_tpu.train.state import (
     DoubleQState,
     TrainState,
+    merge_embedding,
     select_net,
+    split_embedding,
     write_net,
 )
 
@@ -151,6 +154,68 @@ def ce_train_step(
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(
         params=new_params, opt_state=new_opt, step=state.step + 1
+    )
+    return new_state, {"sup_loss": loss, "q_loss": jnp.zeros_like(loss)}
+
+
+def ce_train_step_lazy(
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    model_cfg: ModelConfig,
+    opt: optax.GradientTransformation,
+    lr: float,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """CE step with lazy embedding Adam (TrainConfig.optimizer='lazy_adam'):
+    the table gather runs outside autodiff so the embedding cotangent stays
+    (B*T, E); only touched rows' param/m/v are read or written. Dense Adam
+    owns the rest of the tree. See train/lazy_adam.py for semantics."""
+    rng = jax.random.fold_in(state.rng, state.step)
+    emb, rest = split_embedding(state.params)
+    x_emb = emb[batch["state"]]  # (B, T, E) — the only table read
+
+    def loss_fn(rest_params, x_emb):
+        params = merge_embedding(rest_params, emb)  # emb unused under embeds
+        h = apply_features(
+            params,
+            model_cfg,
+            batch["state"],
+            batch["true_len"],
+            dropout_rng=rng,
+            deterministic=(model_cfg.backbone.dropout == 0.0),
+            inputs_embeds=x_emb,
+        )
+        if model_cfg.fused_ce:
+            return _fused_sup_ce(
+                params, model_cfg, h, batch["action"], batch["valid"]
+            )
+        logits = mask_pad_logits(
+            model_cfg, linear_apply(params["sup_head"], h)
+        )
+        return _ce_loss(logits, batch["action"], batch["valid"])
+
+    (loss, (g_rest, g_rows)) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        rest, x_emb
+    )
+    updates, new_rest_opt = opt.update(g_rest, state.opt_state["rest"], rest)
+    new_rest = optax.apply_updates(rest, updates)
+    frozen = (
+        None
+        if model_cfg.backbone.train_pad_embed
+        else model_cfg.backbone.padding_idx
+    )
+    new_emb, new_emb_opt = emb_adam_update(
+        emb,
+        state.opt_state["emb"],
+        batch["state"].reshape(-1),
+        g_rows.reshape(-1, g_rows.shape[-1]),
+        state.step,
+        lr=lr,
+        frozen_row=frozen,
+    )
+    new_state = state.replace(
+        params=merge_embedding(new_rest, new_emb),
+        opt_state={"rest": new_rest_opt, "emb": new_emb_opt},
+        step=state.step + 1,
     )
     return new_state, {"sup_loss": loss, "q_loss": jnp.zeros_like(loss)}
 
@@ -398,13 +463,25 @@ def make_train_step(
     div_embedding: Optional[jax.Array] = None,
     unpopular_mask: Optional[jax.Array] = None,
     out_to_in: Optional[jax.Array] = None,
+    lazy_embedding_lr: Optional[float] = None,
     jit: bool = True,
     donate: bool = True,
 ) -> TrainStep:
-    """Build `step(state, batch) -> (state, metrics)` for the family."""
+    """Build `step(state, batch) -> (state, metrics)` for the family.
+
+    ``lazy_embedding_lr``: enable lazy embedding Adam at this learning rate
+    (state must come from make_lazy_train_state; gru4rec/bidir only)."""
     fam = model_cfg.family
     aux: Dict[str, jax.Array] = {}
-    if fam in ("gru4rec", "bidir_gru4rec"):
+    if lazy_embedding_lr is not None:
+        if fam not in ("gru4rec", "bidir_gru4rec"):
+            raise ValueError(
+                "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
+            )
+        raw = lambda state, batch, aux: ce_train_step_lazy(
+            state, batch, model_cfg, opt, lazy_embedding_lr
+        )
+    elif fam in ("gru4rec", "bidir_gru4rec"):
         raw = lambda state, batch, aux: ce_train_step(state, batch, model_cfg, opt)
     elif fam == "sqn":
         raw = lambda state, batch, aux: sqn_train_step(state, batch, model_cfg, opt, rl)
