@@ -184,3 +184,38 @@ def test_lazy_trainer_end_to_end(tmp_path):
     hr_dense = run("adam")
     assert hr_lazy > 0.3
     assert abs(hr_lazy - hr_dense) < 0.15
+
+
+def test_lazy_resume_from_checkpoint(tmp_path):
+    """Orbax resume round-trips the lazy opt_state layout
+    ({'rest': adam, 'emb': EmbAdamState})."""
+    from ikea_recommender_tpu.core.config import (
+        Config, DataConfig, ExperimentConfig, MetricsConfig, TrainConfig,
+    )
+    from ikea_recommender_tpu.data.synthetic import synthetic_buffers
+    from ikea_recommender_tpu.run.trainer import train
+
+    A = 20
+    train_buf, _ = synthetic_buffers(num_sessions=60, num_items=A, state_len=5, seed=3)
+    _, val_buf = synthetic_buffers(num_sessions=20, num_items=A, state_len=5, seed=4)
+
+    def cfg(epochs, resume):
+        return Config(
+            experiment=ExperimentConfig(seed=0),
+            data=DataConfig(num_items=A),
+            train=TrainConfig(
+                model="gru4rec", batch_size=16, val_batch_size=32,
+                epochs=epochs, learning_rate=0.01, embedding_size=8,
+                hidden_state_size=8, state_size=5,
+                best_model_metric="Val_NDCG@5", eval_at=[1.0],
+                optimizer="lazy_adam",
+                checkpoint_dir=str(tmp_path / "ckpt"), resume=resume,
+            ),
+            metrics=MetricsConfig(topk_cov=[1], topk_hr_ndcg=[5],
+                                  topk_div=1, topk_nov=1),
+            exp_dir=str(tmp_path),
+        )
+
+    train(cfg(1, False), train_buf=train_buf, val_buf=val_buf)
+    out = train(cfg(2, True), train_buf=train_buf, val_buf=val_buf)
+    assert np.isfinite(out.best_metric)
