@@ -14,7 +14,7 @@ The reference has no distributed backend at all (SURVEY.md §2 #38 — its
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

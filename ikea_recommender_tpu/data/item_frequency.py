@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 import pickle
-from typing import Iterable, Sequence, Set
+from typing import Iterable, Set
 
 import numpy as np
 

@@ -27,7 +27,7 @@ two vectorized fancy-indexing passes — linear in events x state_len.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -29,7 +29,6 @@ FLOPs for HBM bandwidth, the right trade on TPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

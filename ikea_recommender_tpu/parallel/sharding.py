@@ -22,7 +22,7 @@ pick a mesh, annotate, let XLA do the rest).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import numpy as np

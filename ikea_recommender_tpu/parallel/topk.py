@@ -18,7 +18,6 @@ as building blocks (eval at 10^6-catalog scale, custom serving paths).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -8,7 +8,7 @@ action-sharded over a mesh for very large catalogs).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -46,7 +46,7 @@ from ikea_recommender_tpu.data.replay_buffer import (
     num_batches,
 )
 from ikea_recommender_tpu.data.tokenizer import Tokenizer, build_output_to_input_table
-from ikea_recommender_tpu.eval.protocol import EvalProtocol, EvalResult
+from ikea_recommender_tpu.eval.protocol import EvalProtocol
 from ikea_recommender_tpu.models.families import model_config_from_train
 from ikea_recommender_tpu.run.checkpoints import BestModelTracker, CheckpointManager
 from ikea_recommender_tpu.train.state import (

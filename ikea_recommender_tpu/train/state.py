@@ -15,7 +15,7 @@ are identical programs, and the (2, ...) leaves vectorize trivially.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
