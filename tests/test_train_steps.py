@@ -157,3 +157,30 @@ def test_compat_boot_len_flag_changes_result():
     _, m_fixed = step_fixed(state, batch)
     _, m_compat = step_compat(state, batch)
     assert float(m_fixed["q_loss"]) != float(m_compat["q_loss"])
+
+
+def test_compat_div_len_flag_changes_result():
+    """Quirk 3 (smorl_gru.py:298-305): reference computes the online
+    diversity reward at true_next_len over s; the compat flag reproduces it,
+    the default uses true_len."""
+    train, data = _cfgs("smorl")
+    mc = model_config_from_train(train, data)
+    opt = make_optimizer(0.05)
+    rs = np.random.RandomState(7)
+    aux = {
+        "div_embedding": 0.1 * jnp.asarray(rs.randn(A + 1, 8), jnp.float32),
+        "unpopular_mask": jnp.asarray(np.arange(A) % 3 == 0),
+    }
+    batch = _toy_batch()
+    # lengths must differ for the flag to matter
+    assert not np.array_equal(
+        np.asarray(batch["true_len"]), np.asarray(batch["true_next_len"])
+    )
+    state, _ = make_double_q_state(jax.random.key(9), mc, 0.05)
+    step_fixed = make_train_step(mc, opt, RLStepConfig(), **aux, donate=False)
+    step_compat = make_train_step(
+        mc, opt, RLStepConfig(compat_div_len_bug=True), **aux, donate=False
+    )
+    _, m_fixed = step_fixed(state, batch)
+    _, m_compat = step_compat(state, batch)
+    assert float(m_fixed["q_loss"]) != float(m_compat["q_loss"])
