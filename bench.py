@@ -82,7 +82,7 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
     return step, state, batch_d
 
 
-def measure(step, state, batch, warmup=10, iters=100, trials=3):
+def measure(step, state, batch, warmup=10, iters=100, trials=5):
     """Best-of-trials steps/s: the attached TPU rides a shared tunnel with
     multi-x run-to-run noise; min-time is the standard robust estimator for
     a deterministic workload under additive interference."""
