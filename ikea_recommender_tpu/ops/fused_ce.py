@@ -64,8 +64,8 @@ def _block(A: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, lbl_logit_ref,
-                m_acc, s_acc, g_acc, *, valid_dim: int, block: int, prec):
+def _fwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref,
+                lbl_logit_ref, m_acc, s_acc, g_acc, *, block: int, prec):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -84,7 +84,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, lbl_logit_ref,
         + b_ref[:]
     )  # (B, BLK) fp32
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    logits = jnp.where(col < valid_dim, logits, _NEG)
+    logits = jnp.where(col < valid_ref[0, 0], logits, _NEG)
 
     m_old = m_acc[:]
     m_new = jnp.maximum(m_old, jnp.max(logits, axis=1, keepdims=True))
@@ -92,8 +92,13 @@ def _fwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, lbl_logit_ref,
         jnp.exp(logits - m_new), axis=1, keepdims=True
     )
     m_acc[:] = m_new
+    # label match qualified by column validity: an out-of-range localized
+    # label (sharded use, parallel/fused_ce.py) must contribute 0, not the
+    # -inf of a masked padded column.
     g_acc[:] += jnp.sum(
-        jnp.where(col == lbl_ref[:], logits, 0.0), axis=1, keepdims=True
+        jnp.where((col == lbl_ref[:]) & (col < valid_ref[0, 0]), logits, 0.0),
+        axis=1,
+        keepdims=True,
     )
 
     @pl.when(j == pl.num_programs(0) - 1)
@@ -102,7 +107,7 @@ def _fwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, lbl_logit_ref,
         lbl_logit_ref[:] = g_acc[:]
 
 
-def _fwd(h, w, b, labels, valid_dim: int, precision: str = "highest"):
+def _fwd(h, w, b, labels, valid_dim, precision: str = "highest"):
     B, F = h.shape
     A = w.shape[1]
     blk = _block(A)
@@ -113,11 +118,13 @@ def _fwd(h, w, b, labels, valid_dim: int, precision: str = "highest"):
         w = jnp.pad(w, ((0, 0), (0, Ap - A)))
         b = jnp.pad(b, (0, Ap - A))
     lbl2 = labels.astype(jnp.int32).reshape(B, 1)
-    kern = functools.partial(_fwd_kernel, valid_dim=valid_dim, block=blk, prec=_PRECISIONS[precision])
+    valid2 = jnp.asarray(valid_dim, jnp.int32).reshape(1, 1)
+    kern = functools.partial(_fwd_kernel, block=blk, prec=_PRECISIONS[precision])
     lse, lbl_logit = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -137,7 +144,7 @@ def _fwd(h, w, b, labels, valid_dim: int, precision: str = "highest"):
             pltpu.VMEM((B, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(h.astype(jnp.float32), w, b.reshape(1, Ap), lbl2)
+    )(valid2, h.astype(jnp.float32), w, b.reshape(1, Ap), lbl2)
     return lse[:, 0], lbl_logit[:, 0]
 
 
@@ -146,8 +153,8 @@ def _fwd(h, w, b, labels, valid_dim: int, precision: str = "highest"):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
-                dw_ref, db_ref, dh_ref, dh_acc, *, valid_dim: int, block: int, prec):
+def _bwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
+                dw_ref, db_ref, dh_ref, dh_acc, *, block: int, prec):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -164,8 +171,8 @@ def _bwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
         + b_ref[:]
     )
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    p = jnp.where(col < valid_dim, jnp.exp(logits - lse_ref[:]), 0.0)
-    onehot = (col == lbl_ref[:]).astype(jnp.float32)
+    p = jnp.where(col < valid_ref[0, 0], jnp.exp(logits - lse_ref[:]), 0.0)
+    onehot = ((col == lbl_ref[:]) & (col < valid_ref[0, 0])).astype(jnp.float32)
     dlogits = (p - onehot) * ct_ref[:]  # (B, BLK)
 
     dw_ref[:] = jax.lax.dot_general(
@@ -187,7 +194,7 @@ def _bwd_kernel(h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
         dh_ref[:] = dh_acc[:]
 
 
-def _bwd_call(h, w, b, labels, lse, ct, valid_dim: int, precision: str = "highest"):
+def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
     B, F = h.shape
     A = w.shape[1]
     blk = _block(A)
@@ -197,11 +204,12 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim: int, precision: str = "highes
     if pad:
         w = jnp.pad(w, ((0, 0), (0, pad)))
         b = jnp.pad(b, (0, pad))
-    kern = functools.partial(_bwd_kernel, valid_dim=valid_dim, block=blk, prec=_PRECISIONS[precision])
+    kern = functools.partial(_bwd_kernel, block=blk, prec=_PRECISIONS[precision])
     dw, db, dh = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -222,6 +230,7 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim: int, precision: str = "highes
         scratch_shapes=[pltpu.VMEM((B, F), jnp.float32)],
         interpret=_interpret(),
     )(
+        jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
         h.astype(jnp.float32),
         w,
         b.reshape(1, Ap),
@@ -240,28 +249,29 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim: int, precision: str = "highes
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_softmax_ce(h, w, b, labels, valid_dim: int, precision: str = "highest"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_softmax_ce(h, w, b, labels, valid_dim, precision: str = "highest"):
     """Per-example CE(-log softmax at label) of ``h @ w + b`` without ever
     materializing the (B, A) logits in HBM.
 
     h: (B, F) features; w: (F, A) head kernel; b: (A,) bias;
-    labels: (B,) int; valid_dim: static count of real (unpadded) actions.
-    Returns (B,) fp32 losses. Differentiable in h, w, b.
+    labels: (B,) int; valid_dim: count of real (unpadded) actions — a
+    python int or a traced int32 scalar (the sharded path passes each
+    shard's own count). Returns (B,) fp32 losses. Differentiable in h, w, b.
     """
     lse, lbl = _fwd(h, w, b, labels, valid_dim, precision)
     return lse - lbl
 
 
-def _vjp_fwd(h, w, b, labels, valid_dim: int, precision: str):
+def _vjp_fwd(h, w, b, labels, valid_dim, precision: str):
     lse, lbl = _fwd(h, w, b, labels, valid_dim, precision)
-    return lse - lbl, (h, w, b, labels, lse)
+    return lse - lbl, (h, w, b, labels, lse, valid_dim)
 
 
-def _vjp_bwd(valid_dim: int, precision: str, res, ct):
-    h, w, b, labels, lse = res
+def _vjp_bwd(precision: str, res, ct):
+    h, w, b, labels, lse, valid_dim = res
     dh, dw, db = _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision)
-    return dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype), None
+    return dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype), None, None
 
 
 fused_softmax_ce.defvjp(_vjp_fwd, _vjp_bwd)
