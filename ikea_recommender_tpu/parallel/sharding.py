@@ -114,3 +114,83 @@ def make_sharded_train_step(
         donate_argnums=(0,),
     )
     return lambda state, batch: jitted(state, batch, step.aux)
+
+
+def make_sharded_fused_ce_train_step(
+    model_cfg,
+    opt,
+    mesh: Mesh,
+    state_template: Any,
+    batch_template: Any,
+) -> Callable:
+    """Sharded gru4rec/bidir CE step where the supervised CE goes through
+    the SHARDED flash-CE kernel (parallel/fused_ce.py) instead of
+    XLA-partitioned dense logits: backbone/auto-partitioned, head columns on
+    the model axis, per-shard logits never materialize. Requires the model
+    built with ``align = mesh model-axis size``.
+
+    Returns ``step(state, batch) -> (state, metrics)`` operating on
+    mesh-sharded arrays (use ``shard_state`` first).
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from ikea_recommender_tpu.models.families import apply_features
+    from ikea_recommender_tpu.models.backbone import embedding_grad_mask
+    from ikea_recommender_tpu.parallel.fused_ce import sharded_fused_softmax_ce
+
+    if model_cfg.padded_action_dim % mesh.shape[MODEL_AXIS]:
+        raise ValueError(
+            "padded action dim must divide the model axis — build the model "
+            "with model_config_from_train(..., align=n_model)"
+        )
+
+    def raw(state, batch, aux):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            h = apply_features(
+                params,
+                model_cfg,
+                batch["state"],
+                batch["true_len"],
+                dropout_rng=rng,
+                deterministic=(model_cfg.backbone.dropout == 0.0),
+            )
+            head = params["sup_head"]
+            per = sharded_fused_softmax_ce(
+                h.astype(jnp.float32),
+                head["kernel"],
+                head["bias"],
+                batch["action"],
+                mesh,
+                model_cfg.action_dim,
+                data_axis=DATA_AXIS,
+            )
+            w = batch["valid"].astype(per.dtype)
+            return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        mask = embedding_grad_mask(model_cfg.backbone)
+        if mask is not None:
+            bb = dict(grads["backbone"])
+            bb["embedding"] = bb["embedding"] * mask
+            grads = dict(grads, backbone=bb)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+        return new_state, {"sup_loss": loss, "q_loss": jnp.zeros_like(loss)}
+
+    st_sh = state_shardings(state_template, mesh)
+    b_sh = batch_sharding_tree(batch_template, mesh)
+    rep = NamedSharding(mesh, P())
+    out_sh = (st_sh, {"sup_loss": rep, "q_loss": rep})
+    jitted = jax.jit(
+        lambda state, batch: raw(state, batch, {}),
+        in_shardings=(st_sh, b_sh),
+        out_shardings=out_sh,
+        donate_argnums=(0,),
+    )
+    return jitted

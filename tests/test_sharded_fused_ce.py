@@ -73,3 +73,64 @@ def test_indivisible_action_dim_raises():
     h = jnp.zeros((2, 4)); w = jnp.zeros((4, 66)); b = jnp.zeros((66,))
     with pytest.raises(ValueError, match="not divisible"):
         sharded_fused_softmax_ce(h, w, b, jnp.zeros((2,), jnp.int32), mesh, 66)
+
+
+def test_sharded_fused_ce_train_step_matches_unsharded():
+    """The integrated sharded step (flash-CE under shard_map) trains to the
+    same params as the plain unsharded CE step."""
+    from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
+    from ikea_recommender_tpu.models.families import model_config_from_train
+    from ikea_recommender_tpu.parallel.sharding import (
+        make_sharded_fused_ce_train_step,
+        shard_state,
+    )
+    from ikea_recommender_tpu.train.state import make_optimizer, make_train_state
+    from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
+
+    mesh = make_mesh(MeshSpec(2, 4))
+    A, B, T = 37, 16, 5  # ragged catalog; padded action dim = 40
+    tc = TrainConfig(
+        model="gru4rec", embedding_size=8, hidden_state_size=8, state_size=T,
+        fused_ce=False,
+    )
+    mc = model_config_from_train(tc, DataConfig(num_items=A), align=4)
+    assert mc.padded_action_dim % 4 == 0
+    opt = make_optimizer(0.01)
+    state, _ = make_train_state(jax.random.key(0), mc, 0.01)
+
+    rs = np.random.RandomState(0)
+    def batch():
+        return {
+            "state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+            "action": jnp.asarray(rs.randint(0, A, (B,)), jnp.int32),
+            "reward": jnp.zeros((B,), jnp.float32),
+            "next_state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+            "true_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+            "true_next_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+            "is_end": jnp.zeros((B,), bool),
+            "valid": jnp.ones((B,), bool),
+        }
+
+    batches = [batch()] * 4  # one fixed batch: loss must fall (memorization)
+
+    # unsharded reference trajectory
+    ref_step = make_train_step(mc, opt, RLStepConfig(), donate=False)
+    ref_state = state
+    ref_losses = []
+    for b in batches:
+        ref_state, m = ref_step(ref_state, b)
+        ref_losses.append(float(m["sup_loss"]))
+
+    # sharded flash-CE trajectory
+    sh_step = make_sharded_fused_ce_train_step(mc, opt, mesh, state, batches[0])
+    sh_state = shard_state(state, mesh)
+    sh_losses = []
+    for b in batches:
+        sh_state, m = sh_step(sh_state, b)
+        sh_losses.append(float(m["sup_loss"]))
+
+    # step 0 runs on identical params -> tight; later steps drift because
+    # Adam amplifies fp32 reduction-order differences -> loose trend check
+    np.testing.assert_allclose(sh_losses[0], ref_losses[0], rtol=1e-5)
+    np.testing.assert_allclose(sh_losses, ref_losses, rtol=3e-2)
+    assert sh_losses[-1] < sh_losses[0]  # it actually trains
