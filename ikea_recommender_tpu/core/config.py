@@ -96,6 +96,12 @@ class TrainConfig:
     eval_at: List[float] = field(default_factory=lambda: [0.25, 0.5, 0.75, 1.0])
     # Double-Q specifics (SQN / SMORL)
     num_q_heads: int = 3  # SMORL; canonical 3-head (acc, div, nov)
+    # SARM discount. The reference hardcodes 0.99 (sarm.py:112), which makes
+    # its self-bootstrapped Q targets DIVERGE (positive feedback through the
+    # per-head max; measured: q_loss grows monotonically and the shared
+    # backbone never learns) — faithful to the reference's half-finished
+    # SARM. Lower it (e.g. 0.5) to stabilize.
+    sarm_gamma: float = 0.99
     # dtype policy: params dtype and compute dtype. bfloat16 compute keeps the
     # MXU fed; fp32 params keep Adam stable.
     param_dtype: str = "float32"

@@ -249,6 +249,7 @@ def train(
         padding_pos=t_cfg.padding_position,
         compat_boot_len_bug=t_cfg.compat_boot_len_bug,
         compat_div_len_bug=t_cfg.compat_div_len_bug,
+        sarm_gamma=t_cfg.sarm_gamma,
     )
     key = jax.random.key(cfg.seed)
     lazy = t_cfg.optimizer == "lazy_adam"
