@@ -1,0 +1,225 @@
+"""Fused linear-head argmax (Pallas): argmax_a (h @ W + b) without
+materializing the (B, A) logits.
+
+The double-Q target computation needs only ``argmax_a Q_main(s', a)`` and a
+single gathered Q value per row (``train/steps.py``) — yet the straight
+implementation materializes (B, A) Q-logits three times per step (72MB each
+at the RetailRocket catalog). This kernel streams the head weights through
+VMEM in action blocks keeping a running (max, argmax); the gathered Q value
+is then an O(B*F) gather-dot (``row_logit``), no kernel needed.
+
+Forward-only by design: targets sit under ``stop_gradient`` in every
+consumer. Ties resolve to the LOWEST action id (jnp.argmax convention).
+
+The multi-head variant computes the argmax of the WEIGHTED HEAD SUM —
+SMORL's scalarized target action (``get_weighted_q_target`` +
+``get_max_action``, reference ``smorl_gru.py:278-295``) — streaming all K
+heads' columns per block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _block(A: int) -> int:
+    for blk in (2048, 1024, 512, 256, 128):
+        if A % blk == 0 or A > blk:
+            return blk
+    return 128
+
+
+def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, m_acc, i_acc,
+                   *, block: int, prec):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, _NEG)
+        i_acc[:] = jnp.zeros_like(i_acc)
+
+    logits = (
+        jnp.dot(
+            h_ref[:], w_ref[:],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        + b_ref[:]
+    )  # (B, BLK)
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(col < valid_ref[0, 0], logits, _NEG)
+
+    blk_max = jnp.max(logits, axis=1, keepdims=True)  # (B, 1)
+    # lowest-id tie-break within the block (jnp.argmax convention)
+    blk_arg = jnp.min(
+        jnp.where(logits == blk_max, col, jnp.iinfo(jnp.int32).max),
+        axis=1,
+        keepdims=True,
+    )
+    better = blk_max > m_acc[:]  # strict: earlier blocks win ties
+    m_acc[:] = jnp.where(better, blk_max, m_acc[:])
+    i_acc[:] = jnp.where(better, blk_arg, i_acc[:])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = i_acc[:]
+
+
+def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
+    """argmax over a linear head: (B, F) x (F, A) -> (B,) int32 action ids.
+
+    Identical to ``jnp.argmax(h @ w + b masked to valid_dim, axis=1)``
+    including lowest-id tie-breaking. NOT differentiable (use under
+    stop_gradient — as all consumers do)."""
+    from ikea_recommender_tpu.ops.fused_ce import _PRECISIONS
+
+    # argmax is piecewise-constant: zero tangent everywhere. Stop gradients
+    # BEFORE the pallas_call (which has no JVP rule) so callers may pass
+    # differentiated params.
+    h, w, b = map(jax.lax.stop_gradient, (h, w, b))
+    B, F = h.shape
+    A = w.shape[1]
+    blk = _block(A)
+    grid = pl.cdiv(A, blk)
+    Ap = grid * blk
+    if Ap != A:
+        w = jnp.pad(w, ((0, 0), (0, Ap - A)))
+        b = jnp.pad(b, (0, Ap - A))
+    kern = functools.partial(
+        _argmax_kernel, block=blk, prec=_PRECISIONS[precision]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(
+        jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
+        h.astype(jnp.float32),
+        w,
+        b.reshape(1, Ap),
+    )
+    return jax.lax.stop_gradient(out[:, 0])
+
+
+def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref,
+                    m_acc, i_acc, *, block: int, K: int, prec):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, _NEG)
+        i_acc[:] = jnp.zeros_like(i_acc)
+
+    # w block layout (F, K, BLK) flattened to (F, K*BLK); weighted head sum
+    wsum = jnp.zeros((h_ref.shape[0], block), jnp.float32)
+    for k in range(K):  # K is tiny (<=5), static unroll
+        logits_k = (
+            jnp.dot(
+                h_ref[:], w_ref[:, k, :],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            + b_ref[:, k, :]
+        )
+        wsum = wsum + qw_ref[0, k] * logits_k
+    col = j * block + jax.lax.broadcasted_iota(jnp.int32, wsum.shape, 1)
+    wsum = jnp.where(col < valid_ref[0, 0], wsum, _NEG)
+
+    blk_max = jnp.max(wsum, axis=1, keepdims=True)
+    blk_arg = jnp.min(
+        jnp.where(wsum == blk_max, col, jnp.iinfo(jnp.int32).max),
+        axis=1,
+        keepdims=True,
+    )
+    better = blk_max > m_acc[:]
+    m_acc[:] = jnp.where(better, blk_max, m_acc[:])
+    i_acc[:] = jnp.where(better, blk_arg, i_acc[:])
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = i_acc[:]
+
+
+def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
+                                    precision: str = "highest"):
+    """SMORL target action: argmax_a sum_k q_weights[k] * (h @ w[:,k,:] + b[k])
+    without materializing any (B, K, A) logits.
+
+    w: (F, K, A) stacked head kernel (models/heads.py layout); b: (K, A).
+    Returns (B,) int32. NOT differentiable."""
+    from ikea_recommender_tpu.ops.fused_ce import _PRECISIONS
+
+    h, w, b = map(jax.lax.stop_gradient, (h, w, b))  # see fused_linear_argmax
+    B, F = h.shape
+    _, K, A = w.shape
+    blk = _block(A)
+    grid = pl.cdiv(A, blk)
+    Ap = grid * blk
+    if Ap != A:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Ap - A)))
+        b = jnp.pad(b, ((0, 0), (0, Ap - A)))
+    kern = functools.partial(
+        _wargmax_kernel, block=blk, K=K, prec=_PRECISIONS[precision]
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, K, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, 1), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(
+        jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
+        h.astype(jnp.float32),
+        w,
+        b.reshape(1, K, Ap),
+        jnp.asarray(q_weights, jnp.float32).reshape(1, K),
+    )
+    return jax.lax.stop_gradient(out[:, 0])
+
+
+def row_logit(h, w, b, idx):
+    """One logit per row: (h @ w + b)[i, idx[i]] as an O(B*F) gather-dot —
+    no (B, A) matmul. Differentiable in h, w, b (the w gradient is the
+    natural column scatter)."""
+    w_cols = jnp.take(w, idx, axis=1)  # (F, B)
+    return jnp.einsum("bf,fb->b", h, w_cols) + jnp.take(b, idx)
+
+
+def multihead_row_logit(h, w, b, idx):
+    """One logit per row per head: (B, F) x (F, K, A) -> (B, K) at idx[i]
+    (the lean ``gather_from_3d`` — no (B, K, A) materialization).
+    Differentiable in h, w, b."""
+    w_cols = jnp.take(w, idx, axis=2)  # (F, K, B)
+    return jnp.einsum("bf,fkb->bk", h, w_cols) + jnp.take(b, idx, axis=1).T

@@ -43,6 +43,12 @@ from ikea_recommender_tpu.models.families import (
     mask_pad_logits,
 )
 from ikea_recommender_tpu.models.heads import linear_apply
+from ikea_recommender_tpu.ops.fused_argmax import (
+    fused_linear_argmax,
+    fused_weighted_multihead_argmax,
+    multihead_row_logit,
+    row_logit,
+)
 from ikea_recommender_tpu.ops.fused_ce import fused_softmax_ce
 from ikea_recommender_tpu.ops.rewards import diversity_rewards, novelty_rewards
 from ikea_recommender_tpu.ops.rl import (
@@ -243,30 +249,53 @@ def sqn_train_step(
 
     def loss_fn(p_main):
         if model_cfg.fused_ce:
+            # Lean path: no (B, A) logits materialize anywhere — fused CE
+            # for the sup head, row gather-dots for the Q values, and the
+            # blockwise argmax kernel for the target action
+            # (ops/fused_argmax.py).
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
-            q_out = mask_pad_logits(model_cfg, linear_apply(p_main["q_head"], h))
             sup_loss_f = _fused_sup_ce(
                 p_main, model_cfg, h, batch["action"], batch["valid"]
+            )
+            qh = p_main["q_head"]
+            q = row_logit(h, qh["kernel"], qh["bias"], batch["action"])
+
+            h_next = jax.lax.stop_gradient(
+                apply_features(
+                    p_main, model_cfg, batch["next_state"], batch["true_next_len"]
+                )
+            )
+            max_a_next = fused_linear_argmax(
+                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim
+            )
+            qb = params_boot["q_head"]
+            h_next_boot = apply_features(
+                params_boot, model_cfg, batch["next_state"], boot_len
+            )
+            q_next_boot = jax.lax.stop_gradient(
+                row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
             )
         else:
             sup, q_out = apply_model(
                 p_main, model_cfg, batch["state"], batch["true_len"]
             )
             sup_loss_f = _ce_loss(sup, batch["action"], batch["valid"])
-        q = jnp.take_along_axis(q_out, batch["action"][:, None], axis=1).squeeze(1)
+            q = jnp.take_along_axis(
+                q_out, batch["action"][:, None], axis=1
+            ).squeeze(1)
 
-        # target: r + γ Q_boot(s', argmax_a Q_main(s', a)), zeroed at ends
-        _, q_next = apply_model(
-            p_main, model_cfg, batch["next_state"], batch["true_next_len"]
-        )
-        q_next = jax.lax.stop_gradient(q_next)
-        max_a_next = jnp.argmax(q_next, axis=1)
-        _, q_next_boot_all = apply_model(
-            params_boot, model_cfg, batch["next_state"], boot_len
-        )
-        q_next_boot = jnp.take_along_axis(
-            jax.lax.stop_gradient(q_next_boot_all), max_a_next[:, None], axis=1
-        ).squeeze(1)
+            # target: r + γ Q_boot(s', argmax_a Q_main(s', a)), zeroed at ends
+            _, q_next = apply_model(
+                p_main, model_cfg, batch["next_state"], batch["true_next_len"]
+            )
+            q_next = jax.lax.stop_gradient(q_next)
+            max_a_next = jnp.argmax(q_next, axis=1)
+            _, q_next_boot_all = apply_model(
+                params_boot, model_cfg, batch["next_state"], boot_len
+            )
+            q_next_boot = jnp.take_along_axis(
+                jax.lax.stop_gradient(q_next_boot_all), max_a_next[:, None], axis=1
+            ).squeeze(1)
         q_next_boot = q_next_boot * not_end
 
         td = batch["reward"] + rl.gamma * q_next_boot - q
@@ -317,23 +346,56 @@ def smorl_train_step(
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
     def loss_fn(p_main):
-        sup, q_all = apply_model(p_main, model_cfg, batch["state"], batch["true_len"])
-        sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
-        q = gather_from_3d(q_all, batch["action"])  # (B, K)
+        if model_cfg.fused_ce:
+            # Lean path: the sup logits stay dense (the online rewards
+            # top-k them) but no (B, K, A) Q logits materialize — row
+            # gather-dots + the weighted-argmax kernel
+            # (ops/fused_argmax.py).
+            h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
+            sup = mask_pad_logits(model_cfg, linear_apply(p_main["sup_head"], h))
+            sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
+            qh = p_main["q_heads"]
+            q = multihead_row_logit(
+                h, qh["kernel"], qh["bias"], batch["action"]
+            )  # (B, K)
 
-        # Bootstrapped target (no grad): a* maximizes the WEIGHTED head sum
-        # of the main net on s' (smorl_gru.py:278-295).
-        _, q_out_next = apply_model(
-            p_main, model_cfg, batch["next_state"], batch["true_next_len"]
-        )
-        q_out_next = jax.lax.stop_gradient(q_out_next)
-        max_a_next = get_max_action(get_weighted_q_target(q_out_next, w))
-        _, q_out_next_boot = apply_model(
-            params_boot, model_cfg, batch["next_state"], boot_len
-        )
-        q_next_boot = gather_from_3d(
-            jax.lax.stop_gradient(q_out_next_boot), max_a_next
-        )  # (B, K)
+            h_next = jax.lax.stop_gradient(
+                apply_features(
+                    p_main, model_cfg, batch["next_state"], batch["true_next_len"]
+                )
+            )
+            max_a_next = fused_weighted_multihead_argmax(
+                h_next, qh["kernel"], qh["bias"], w, model_cfg.action_dim
+            )
+            qb = params_boot["q_heads"]
+            h_next_boot = apply_features(
+                params_boot, model_cfg, batch["next_state"], boot_len
+            )
+            q_next_boot = jax.lax.stop_gradient(
+                multihead_row_logit(
+                    h_next_boot, qb["kernel"], qb["bias"], max_a_next
+                )
+            )  # (B, K)
+        else:
+            sup, q_all = apply_model(
+                p_main, model_cfg, batch["state"], batch["true_len"]
+            )
+            sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
+            q = gather_from_3d(q_all, batch["action"])  # (B, K)
+
+            # Bootstrapped target (no grad): a* maximizes the WEIGHTED head
+            # sum of the main net on s' (smorl_gru.py:278-295).
+            _, q_out_next = apply_model(
+                p_main, model_cfg, batch["next_state"], batch["true_next_len"]
+            )
+            q_out_next = jax.lax.stop_gradient(q_out_next)
+            max_a_next = get_max_action(get_weighted_q_target(q_out_next, w))
+            _, q_out_next_boot = apply_model(
+                params_boot, model_cfg, batch["next_state"], boot_len
+            )
+            q_next_boot = gather_from_3d(
+                jax.lax.stop_gradient(q_out_next_boot), max_a_next
+            )  # (B, K)
         q_next_boot = q_next_boot * not_end[:, None]
 
         # Online rewards from the supervised head's predictions (no grad).

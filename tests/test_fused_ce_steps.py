@@ -40,8 +40,17 @@ def _run(model, fused, n_steps=3):
     # test catalog — force the flag so both paths are exercised
     mc = replace(mc, fused_ce=fused)
     opt = make_optimizer(0.01)
-    step = make_train_step(mc, opt, RLStepConfig(), donate=False)
-    if model == "sqn":
+    aux = {}
+    if model == "smorl":
+        rs_aux = np.random.RandomState(7)
+        import jax.numpy as jnp
+
+        aux = {
+            "div_embedding": 0.1 * jnp.asarray(rs_aux.randn(A + 1, 8), jnp.float32),
+            "unpopular_mask": jnp.asarray(np.arange(A) % 3 == 0),
+        }
+    step = make_train_step(mc, opt, RLStepConfig(), **aux, donate=False)
+    if model in ("sqn", "smorl"):
         state, _ = make_double_q_state(jax.random.key(0), mc, 0.01)
     else:
         state, _ = make_train_state(jax.random.key(0), mc, 0.01)
@@ -69,5 +78,17 @@ def test_sqn_fused_matches_unfused():
     np.testing.assert_allclose(l_f, l_u, rtol=1e-4, atol=1e-5)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5),
+        s_f.params, s_u.params,
+    )
+
+
+def test_smorl_fused_matches_unfused():
+    """The lean SMORL path (row gather-dots + weighted-argmax kernel, no
+    (B, K, A) materialization) trains identically to the dense path."""
+    l_f, s_f = _run("smorl", True)
+    l_u, s_u = _run("smorl", False)
+    np.testing.assert_allclose(l_f, l_u, rtol=1e-4, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-5),
         s_f.params, s_u.params,
     )
