@@ -108,7 +108,14 @@ def parse_jsonl_buffer(
     if n == 0:
         return {c: np.empty((0,), np.int32) for c in columns}
 
-    first = json.loads(data[: data.index(b"\n")] if b"\n" in data else data)
+    # Sniff column presence + state_len from the first NON-EMPTY line (the
+    # C++ row counter skips blank lines, so sniffing must too); any sniffing
+    # failure falls back to the pandas path rather than raising here.
+    try:
+        first_line = next(ln for ln in data.splitlines() if ln.strip())
+        first = json.loads(first_line)
+    except (StopIteration, ValueError):
+        return None
     present = [c for c in columns if c in first]
     state_len = len(first["state"]) if "state" in first else 0
 

@@ -85,6 +85,7 @@ class TrainOutcome:
     logs: List[Dict[str, float]] = field(default_factory=list)
     best_params: Any = None
     throughput_sessions_per_sec: float = 0.0
+    pretrain_metrics: Dict[str, float] = field(default_factory=dict)
 
 
 def _eval_params_list(state, family):
@@ -322,10 +323,20 @@ def train(
     )
     run_window = _make_window_runner(step_fn, protocol, family)
 
-    # ---- warmup eval (reference does one pre-training eval) -------------
-    _ = protocol.evaluate_device(
+    # ---- warmup eval (reference does one pre-training eval; logged here
+    # under Pretrain_ keys rather than discarded) --------------------------
+    warmup_res = protocol.evaluate_device(
         _eval_params_list(state, family)[0], val_data, t_cfg.val_batch_size
     )
+    pretrain_metrics = get_logging_dict_test(
+        warmup_res,
+        topk_hr_ndcg=m_cfg.topk_hr_ndcg,
+        topk_cov=m_cfg.topk_cov,
+        prefix="Pretrain_",
+        name="Val",
+    )
+    if log_fn is not None:
+        log_fn(pretrain_metrics, 0)
 
     n_b = num_batches(len(train_buf), t_cfg.batch_size)
     boundaries = sorted({int(n_b * p) for p in t_cfg.eval_at} - {0})
@@ -462,4 +473,5 @@ def train(
         logs=logs,
         best_params=best_params,
         throughput_sessions_per_sec=throughput,
+        pretrain_metrics=pretrain_metrics,
     )

@@ -60,8 +60,9 @@ def get_logging_dict_test(
     topk_cov: Sequence[int],
     real_test: bool = False,
     prefix: str = "",
+    name: Optional[str] = None,
 ) -> Dict[str, float]:
-    name = "Test" if real_test else "Best_Val"
+    name = name or ("Test" if real_test else "Best_Val")
     d: Dict[str, float] = {f"{prefix}{name} Loss": float(test_res.loss)}
     for i, k in enumerate(topk_hr_ndcg):
         d[f"{prefix}{name}_HR@{k}"] = float(test_res.hr[i])

@@ -120,6 +120,39 @@ const char* skip_value(const char* p, const char* end) {
   return p;
 }
 
+// Bitmask positions for per-row key-presence tracking.
+enum FieldBit : unsigned {
+  kState = 1u << 0,
+  kAction = 1u << 1,
+  kRAct = 1u << 2,
+  kNextState = 1u << 3,
+  kTrueLen = 1u << 4,
+  kTrueNextLen = 1u << 5,
+  kIsEnd = 1u << 6,
+};
+
+// Every requested (non-null) output must be written by every row; a row that
+// omits a column row 0 had would otherwise leave uninitialized memory.
+bool check_required(unsigned seen, int64_t row, const Outputs& o, char* err) {
+  struct Req { const void* ptr; unsigned bit; const char* name; };
+  const Req reqs[] = {
+      {o.state, kState, "state"},
+      {o.action, kAction, "action"},
+      {o.r_act, kRAct, "r_act"},
+      {o.next_state, kNextState, "next_state"},
+      {o.true_state_len, kTrueLen, "true_state_len"},
+      {o.true_next_state_len, kTrueNextLen, "true_next_state_len"},
+      {o.is_end, kIsEnd, "is_end"},
+  };
+  for (const Req& r : reqs) {
+    if (r.ptr && !(seen & r.bit)) {
+      snprintf(err, 256, "row %lld: missing key %s", (long long)row, r.name);
+      return false;
+    }
+  }
+  return true;
+}
+
 bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
                char* err) {
   p = skip_ws(p, end);
@@ -128,9 +161,10 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
     return false;
   }
   ++p;
+  unsigned seen = 0;
   while (p < end) {
     p = skip_ws(p, end);
-    if (p < end && *p == '}') return true;
+    if (p < end && *p == '}') return check_required(seen, row, o, err);
     if (p >= end || *p != '"') {
       snprintf(err, 256, "row %lld: expected key", (long long)row);
       return false;
@@ -153,6 +187,7 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
 
     if (is_key("state") || is_key("next_state")) {
       int32_t* dst = is_key("state") ? o.state : o.next_state;
+      seen |= is_key("state") ? kState : kNextState;
       int64_t cnt = 0;
       p = parse_int_array(p, end, dst ? dst + row * o.state_len : nullptr,
                           o.state_len, &cnt);
@@ -160,8 +195,10 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
         snprintf(err, 256, "row %lld: bad array", (long long)row);
         return false;
       }
-      if (dst && cnt > o.state_len) {
-        snprintf(err, 256, "row %lld: state has %lld > state_len %lld items",
+      // Ragged rows are rejected: zero-padding would silently substitute
+      // item id 0 (a REAL item — the framework's pad id is num_items).
+      if (dst && cnt != o.state_len) {
+        snprintf(err, 256, "row %lld: array has %lld items, state_len is %lld",
                  (long long)row, (long long)cnt, (long long)o.state_len);
         return false;
       }
@@ -177,6 +214,9 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
       int32_t* dst = is_key("action") ? o.action
                      : is_key("true_state_len") ? o.true_state_len
                                                 : o.true_next_state_len;
+      seen |= is_key("action") ? kAction
+              : is_key("true_state_len") ? kTrueLen
+                                         : kTrueNextLen;
       if (dst) dst[row] = static_cast<int32_t>(v);
     } else if (is_key("r_act")) {
       double v;
@@ -185,6 +225,7 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
         snprintf(err, 256, "row %lld: bad r_act", (long long)row);
         return false;
       }
+      seen |= kRAct;
       if (o.r_act) o.r_act[row] = static_cast<float>(v);
     } else if (is_key("is_end")) {
       p = skip_ws(p, end);
@@ -200,6 +241,7 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
         }
         v = d != 0.0;
       }
+      seen |= kIsEnd;
       if (o.is_end) o.is_end[row] = v;
     } else {
       p = skip_value(p, end);
@@ -211,7 +253,7 @@ bool parse_row(const char* p, const char* end, int64_t row, const Outputs& o,
     }
     p = skip_ws(p, end);
     if (p < end && *p == ',') { ++p; continue; }
-    if (p < end && *p == '}') return true;
+    if (p < end && *p == '}') return check_required(seen, row, o, err);
     snprintf(err, 256, "row %lld: expected ',' or '}'", (long long)row);
     return false;
   }

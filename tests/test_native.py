@@ -68,6 +68,35 @@ def test_native_malformed_row_raises():
 
 
 @needs_native
+def test_native_missing_key_raises():
+    # Row 1 omits a column row 0 had: must be a loud error, never silent
+    # uninitialized memory in that row's slot.
+    raw = (
+        b'{"state":[1,2],"action":3,"r_act":0.5}\n'
+        b'{"state":[4,5],"action":6}\n'
+    )
+    with pytest.raises(ValueError, match="row 1: missing key r_act"):
+        native.parse_jsonl_buffer(raw, _TRAIN_COLS)
+
+
+@needs_native
+def test_native_ragged_array_raises():
+    # Shorter-than-first-row arrays must be rejected: zero-padding would
+    # silently substitute item id 0 (a real item) for the pad id.
+    raw = b'{"state":[1,2,3],"action":1}\n{"state":[4,5],"action":2}\n'
+    with pytest.raises(ValueError, match="row 1: array has 2"):
+        native.parse_jsonl_buffer(raw, _TRAIN_COLS)
+
+
+@needs_native
+def test_native_leading_blank_lines():
+    raw = b'\n  \n{"state":[1,2],"action":3}\n'
+    got = native.parse_jsonl_buffer(raw, _TRAIN_COLS)
+    assert got is not None
+    np.testing.assert_array_equal(got["state"], [[1, 2]])
+
+
+@needs_native
 def test_replay_buffer_jsonl_roundtrip(tmp_path):
     df = _make_df(200, state_len=5)
     p = tmp_path / "buf.jsonl"
