@@ -133,6 +133,34 @@ class TrainConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """Device-mesh scaling (YAML section ``parallel`` — a NEW capability;
+    the reference is single-GPU, SURVEY.md §2 #35-38).
+
+    ``data`` x ``model`` devices form a 2-D mesh: the batch is sharded on
+    ``data`` (gradient all-reduce on ICI), embedding-table rows and
+    output-head columns on ``model``. ``data = model = 1`` (default) is the
+    reference's single-device operating point — the trainer then takes the
+    plain single-chip path.
+    """
+
+    data: int = 1
+    model: int = 1
+    # Route the gru4rec/bidir supervised CE through the sharded flash-CE
+    # kernel (parallel/fused_ce.py): per-shard logits never materialize.
+    # Requires model > 1.
+    sharded_ce: bool = False
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+    @property
+    def enabled(self) -> bool:
+        return self.num_devices > 1
+
+
+@dataclass
 class MetricsConfig:
     """Evaluation protocol parameters (reference YAML section ``metrics``)."""
 
@@ -153,6 +181,7 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     metrics: MetricsConfig = field(default_factory=MetricsConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
     # The config file's parent directory doubles as the experiment output dir
     # (reference ``scripts/paper/smorl_gru_train.py:20``).
     exp_dir: str = "."
@@ -203,11 +232,16 @@ def config_from_dict(raw: Dict[str, Any], exp_dir: str = ".") -> Config:
     # padding_position was also spelled padding_pos in some configs.
     if "padding_pos" in train_raw and "padding_position" not in train_raw:
         train_raw["padding_position"] = train_raw.pop("padding_pos")
+    par_raw = dict(raw.get("parallel", {}))
+    # also accept parallel: {mesh: {data: N, model: M}} nesting
+    if "mesh" in par_raw and isinstance(par_raw["mesh"], dict):
+        par_raw.update(par_raw.pop("mesh"))
     return Config(
         experiment=ExperimentConfig(**_filter_kwargs(ExperimentConfig, exp_raw)),
         data=DataConfig(**_filter_kwargs(DataConfig, data_raw)),
         train=TrainConfig(**_filter_kwargs(TrainConfig, train_raw)),
         metrics=MetricsConfig(**_filter_kwargs(MetricsConfig, metrics_raw)),
+        parallel=ParallelConfig(**_filter_kwargs(ParallelConfig, par_raw)),
         exp_dir=exp_dir,
     )
 
@@ -226,6 +260,7 @@ def save_experiment_config(cfg: Config, yaml_path: str) -> None:
         "data": dataclasses.asdict(cfg.data),
         "train": dataclasses.asdict(cfg.train),
         "metrics": dataclasses.asdict(cfg.metrics),
+        "parallel": dataclasses.asdict(cfg.parallel),
     }
     with open(yaml_path, "w") as fh:
         yaml.safe_dump(raw, fh, sort_keys=False)

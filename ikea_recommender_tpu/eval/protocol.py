@@ -31,6 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ikea_recommender_tpu.core.mesh import DATA_AXIS
 
 from ikea_recommender_tpu.models.families import ModelConfig, apply_model
 from ikea_recommender_tpu.ops.coverage import (
@@ -91,8 +94,13 @@ class EvalProtocol:
         unpopular_mask: Optional[jax.Array] = None,
         out_to_in: Optional[jax.Array] = None,
         head_idx: int = 0,
+        mesh=None,
     ):
         self.model_cfg = model_cfg
+        # Optional (data, model) mesh: scanned eval batches are pinned to
+        # the data axis and the accumulator to replicated; parameter
+        # shardings ride in on the (committed) params argument.
+        self.mesh = mesh
         self.topk_hr_ndcg = tuple(topk_hr_ndcg)
         self.topk_cov = tuple(topk_cov)
         self.topk_div = topk_div
@@ -233,22 +241,35 @@ class EvalProtocol:
             "true_len": jnp.asarray(eval_buf.true_len),
         }
 
+    def _constrain(self, tree, spec):
+        if self.mesh is None:
+            return tree
+        sh = NamedSharding(self.mesh, spec)
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
+
     def _scanned_update(self, params, accum, data, idx_mat, valid_mat, aux):
         def body(acc, xs):
             idx, valid = xs
+            batch = {
+                "state": jnp.take(data["state"], idx, axis=0),
+                "action": jnp.take(data["action"], idx, axis=0),
+                "true_len": jnp.take(data["true_len"], idx, axis=0),
+                "valid": valid,
+            }
+            batch = self._constrain(batch, P(DATA_AXIS))
             acc = self._batch_update(
                 params,
                 acc,
-                jnp.take(data["state"], idx, axis=0),
-                jnp.take(data["action"], idx, axis=0),
-                jnp.take(data["true_len"], idx, axis=0),
-                valid,
+                batch["state"],
+                batch["action"],
+                batch["true_len"],
+                batch["valid"],
                 aux,
             )
             return acc, None
 
         accum, _ = jax.lax.scan(body, accum, (idx_mat, valid_mat))
-        return accum
+        return self._constrain(accum, P())
 
     def evaluate_device(self, params, data: Dict[str, jax.Array], batch_size: int) -> EvalResult:
         """Whole eval pass as ONE jitted lax.scan over a device-resident

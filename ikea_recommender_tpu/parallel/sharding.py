@@ -91,6 +91,16 @@ def shard_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, state_shardings(state, mesh))
 
 
+def init_sharded_state(init_fn: Callable[[], Any], mesh: Mesh) -> Any:
+    """Build a train state born with mesh shardings: jit the initializer
+    with explicit out_shardings. This is the MULTI-PROCESS-safe path —
+    ``device_put`` of host arrays can only target this process's devices,
+    while a jitted global computation can produce arrays spanning every
+    process (each process runs the same deterministic init program)."""
+    shapes = jax.eval_shape(init_fn)
+    return jax.jit(init_fn, out_shardings=state_shardings(shapes, mesh))()
+
+
 def make_sharded_train_step(
     step,
     mesh: Mesh,
@@ -116,22 +126,15 @@ def make_sharded_train_step(
     return lambda state, batch: jitted(state, batch, step.aux)
 
 
-def make_sharded_fused_ce_train_step(
-    model_cfg,
-    opt,
-    mesh: Mesh,
-    state_template: Any,
-    batch_template: Any,
-) -> Callable:
-    """Sharded gru4rec/bidir CE step where the supervised CE goes through
-    the SHARDED flash-CE kernel (parallel/fused_ce.py) instead of
-    XLA-partitioned dense logits: backbone/auto-partitioned, head columns on
-    the model axis, per-shard logits never materialize. Requires the model
-    built with ``align = mesh model-axis size``.
-
-    Returns ``step(state, batch) -> (state, metrics)`` operating on
-    mesh-sharded arrays (use ``shard_state`` first).
-    """
+def sharded_fused_ce_raw_step(model_cfg, opt, mesh: Mesh) -> Callable:
+    """Raw ``(state, batch, aux) -> (state, metrics)`` gru4rec/bidir CE step
+    whose supervised CE goes through the SHARDED flash-CE kernel
+    (parallel/fused_ce.py) instead of XLA-partitioned dense logits:
+    backbone auto-partitioned, head columns on the model axis, per-shard
+    logits never materialize. Requires the model built with
+    ``align = mesh model-axis size``. Jit it yourself (the trainer's window
+    runner scans it; ``make_sharded_fused_ce_train_step`` jits it with
+    explicit shardings)."""
     import jax.numpy as jnp
     import optax
 
@@ -183,6 +186,22 @@ def make_sharded_fused_ce_train_step(
         )
         return new_state, {"sup_loss": loss, "q_loss": jnp.zeros_like(loss)}
 
+    return raw
+
+
+def make_sharded_fused_ce_train_step(
+    model_cfg,
+    opt,
+    mesh: Mesh,
+    state_template: Any,
+    batch_template: Any,
+) -> Callable:
+    """jit ``sharded_fused_ce_raw_step`` with explicit in/out shardings.
+
+    Returns ``step(state, batch) -> (state, metrics)`` operating on
+    mesh-sharded arrays (use ``shard_state`` first).
+    """
+    raw = sharded_fused_ce_raw_step(model_cfg, opt, mesh)
     st_sh = state_shardings(state_template, mesh)
     b_sh = batch_sharding_tree(batch_template, mesh)
     rep = NamedSharding(mesh, P())

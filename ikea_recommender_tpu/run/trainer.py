@@ -19,8 +19,11 @@ near-identical ~450-line trainer templates
   (``trainGRU.py:411-415``).
 
 Upgrades over the reference: full-state orbax checkpoints with epoch-level
-resume; a metrics container instead of positional tuples (quirk 6); and the
-SMORL trainer actually runs (the reference's has unrunnable API skew).
+resume; a metrics container instead of positional tuples (quirk 6); the
+SMORL trainer actually runs (the reference's has unrunnable API skew); and
+mesh-sharded training/eval straight from the config (``parallel:`` section —
+batch on the ``data`` axis, embedding rows + head columns on ``model``,
+collectives inserted by XLA; the reference is single-GPU).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ikea_recommender_tpu.core.config import Config
+from ikea_recommender_tpu.core.mesh import DATA_AXIS, MeshSpec, make_mesh
 from ikea_recommender_tpu.data.item_frequency import (
     load_unpopular_items,
     unpopular_mask as build_unpopular_mask,
@@ -124,11 +128,32 @@ def _window_index_matrices(perm: np.ndarray, batch_size: int):
     return idx, valid
 
 
-def _make_window_runner(step, protocol, family):
+def _constrain_batch(batch, mesh):
+    """Pin every batch array's leading (batch) dim to the ``data`` axis —
+    this is what makes the window runner data-parallel under a mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return {k: jax.lax.with_sharding_constraint(v, sh) for k, v in batch.items()}
+
+
+def _constrain_replicated(tree, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
+
+
+def _make_window_runner(step, protocol, family, mesh=None):
     """One jitted dispatch per eval WINDOW: lax.scan over batches, each
     iteration gathering its batch from the device-resident buffer, running
     the optimizer step, and accumulating train metrics + loss sums. Host
-    work per window: one (n_b, B) int32 index upload."""
+    work per window: one (n_b, B) int32 index upload.
+
+    With a mesh, each scanned batch is constrained to the ``data`` axis and
+    the scalar/metric carries to replicated; parameter shardings ride in on
+    the (committed, mesh-sharded) state argument and XLA partitions the
+    step + metric computations accordingly."""
 
     def run(state, accum, losses, data, idx_mat, valid_mat, step_aux, proto_aux):
         def body(carry, xs):
@@ -136,6 +161,8 @@ def _make_window_runner(step, protocol, family):
             idx, valid = xs
             batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
             batch["valid"] = valid
+            if mesh is not None:
+                batch = _constrain_batch(batch, mesh)
             new_state, metrics = step.raw(state, batch, step_aux)
             params = (
                 select_net(new_state.params, 0)
@@ -161,6 +188,9 @@ def _make_window_runner(step, protocol, family):
         (state, accum, losses), _ = jax.lax.scan(
             body, (state, accum, losses), (idx_mat, valid_mat)
         )
+        if mesh is not None:
+            accum = _constrain_replicated(accum, mesh)
+            losses = _constrain_replicated(losses, mesh)
         return state, accum, losses
 
     jitted = jax.jit(run, donate_argnums=(0, 1, 2))
@@ -201,8 +231,28 @@ def train(
     log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
     progress: bool = False,
 ) -> TrainOutcome:
-    t_cfg, d_cfg, m_cfg = cfg.train, cfg.data, cfg.metrics
+    t_cfg, d_cfg, m_cfg, p_cfg = cfg.train, cfg.data, cfg.metrics, cfg.parallel
     family = t_cfg.model
+
+    # ---- device mesh ------------------------------------------------------
+    mesh = None
+    if p_cfg.enabled:
+        n_dev = len(jax.devices())
+        if p_cfg.num_devices > n_dev:
+            raise ValueError(
+                f"parallel config needs {p_cfg.num_devices} devices, "
+                f"{n_dev} visible"
+            )
+        if t_cfg.batch_size % p_cfg.data or t_cfg.val_batch_size % p_cfg.data:
+            raise ValueError(
+                "batch_size and val_batch_size must divide the data axis "
+                f"({p_cfg.data})"
+            )
+        if t_cfg.optimizer == "lazy_adam":
+            raise ValueError("optimizer='lazy_adam' is single-device only")
+        mesh = make_mesh(MeshSpec(data=p_cfg.data, model=p_cfg.model))
+    elif p_cfg.sharded_ce:
+        raise ValueError("sharded_ce requires a multi-device mesh")
 
     # ---- data -----------------------------------------------------------
     if train_buf is None:
@@ -238,7 +288,16 @@ def train(
     )
 
     # ---- model / step / protocol ---------------------------------------
-    model_cfg = model_config_from_train(t_cfg, d_cfg)
+    # Under a mesh: pad vocab rows / action dims to the model-axis multiple
+    # and disable the single-chip Pallas kernels (XLA cannot partition a
+    # custom call; the sharded flash-CE kernel is the mesh-aware variant).
+    model_cfg = model_config_from_train(
+        t_cfg, d_cfg, align=(p_cfg.model if mesh is not None else 1)
+    )
+    if mesh is not None and model_cfg.fused_ce:
+        from dataclasses import replace as _dc_replace
+
+        model_cfg = _dc_replace(model_cfg, fused_ce=False)
     opt = make_optimizer(t_cfg.learning_rate)
     rl = RLStepConfig(
         gamma=t_cfg.gamma,
@@ -268,16 +327,28 @@ def train(
         state, _ = make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)
     else:
         state, _ = make_train_state(key, model_cfg, t_cfg.learning_rate)
-    step_fn = make_train_step(
-        model_cfg,
-        opt,
-        rl,
-        div_embedding=div_emb,
-        unpopular_mask=unpop_mask,
-        out_to_in=out_to_in,
-        lazy_embedding_lr=t_cfg.learning_rate if lazy else None,
-        donate=True,
-    )
+    if p_cfg.sharded_ce:
+        if family not in ("gru4rec", "bidir_gru4rec"):
+            raise ValueError("sharded_ce supports gru4rec/bidir_gru4rec only")
+        from ikea_recommender_tpu.parallel.sharding import (
+            sharded_fused_ce_raw_step,
+        )
+        from ikea_recommender_tpu.train.steps import TrainStep
+
+        step_fn = TrainStep(
+            sharded_fused_ce_raw_step(model_cfg, opt, mesh), aux={}, jit=False
+        )
+    else:
+        step_fn = make_train_step(
+            model_cfg,
+            opt,
+            rl,
+            div_embedding=div_emb,
+            unpopular_mask=unpop_mask,
+            out_to_in=out_to_in,
+            lazy_embedding_lr=t_cfg.learning_rate if lazy else None,
+            donate=True,
+        )
 
     protocol = EvalProtocol(
         model_cfg,
@@ -291,6 +362,7 @@ def train(
         unpopular_mask=unpop_mask,
         out_to_in=out_to_in,
         head_idx=t_cfg.head_idx,
+        mesh=mesh,
     )
 
     tracker = BestModelTracker(
@@ -315,13 +387,30 @@ def train(
                 start_epoch = int(ckpt_mngr.latest_step())
                 print(f"[resume] restored checkpoint, continuing at epoch {start_epoch}")
 
+    if mesh is not None:
+        from ikea_recommender_tpu.parallel.sharding import shard_state
+
+        state = shard_state(state, mesh)
+
     # ---- device-resident data + window runner ---------------------------
     train_data = _device_train_data(train_buf)
     val_data = EvalProtocol.device_eval_data(val_buf)
     test_data = (
         EvalProtocol.device_eval_data(test_buf) if real_test else val_data
     )
-    run_window = _make_window_runner(step_fn, protocol, family)
+    if mesh is not None:
+        # Buffers live replicated on the mesh (single-process path; the
+        # multi-host path loads per-process shards — core/distributed.py).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        train_data = jax.device_put(train_data, rep)
+        val_data = jax.device_put(val_data, rep)
+        if real_test:
+            test_data = jax.device_put(test_data, rep)
+        else:
+            test_data = val_data
+    run_window = _make_window_runner(step_fn, protocol, family, mesh=mesh)
 
     # ---- warmup eval (reference does one pre-training eval; logged here
     # under Pretrain_ keys rather than discarded) --------------------------

@@ -1,0 +1,99 @@
+"""Multi-PROCESS distributed runtime test (VERDICT r1 item 4): two
+jax.distributed CPU processes (2 virtual devices each -> 4 global devices)
+run one mesh-sharded train step through core/distributed.py's
+initialize / process_shard / host_local_batch_to_global, and must agree
+with each other and with the single-process result."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "_distributed_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    """Same step on the in-process (8-virtual-device) backend, 4-device mesh."""
+    import jax
+
+    from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
+    from ikea_recommender_tpu.core.mesh import MeshSpec, make_mesh
+    from ikea_recommender_tpu.models.families import model_config_from_train
+    from ikea_recommender_tpu.parallel.sharding import (
+        make_sharded_train_step,
+        shard_state,
+    )
+    from ikea_recommender_tpu.train.state import make_optimizer, make_train_state
+    from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
+    from tests._distributed_worker import make_global_batch
+
+    mesh = make_mesh(MeshSpec(data=2, model=2), devices=jax.devices()[:4])
+    A, T, B = 24, 5, 16
+    tc = TrainConfig(
+        model="gru4rec", embedding_size=8, hidden_state_size=8, state_size=T
+    )
+    mc = model_config_from_train(tc, DataConfig(num_items=A), align=2)
+    opt = make_optimizer(0.01)
+    state, _ = make_train_state(jax.random.key(0), mc, 0.01)
+    batch = make_global_batch(B, A, T)
+    raw = make_train_step(mc, opt, RLStepConfig(), jit=False)
+    step = make_sharded_train_step(raw, mesh, state, batch)
+    new_state, metrics = step(shard_state(state, mesh), batch)
+    emb_sum = float(
+        np.asarray(new_state.params["backbone"]["embedding"], dtype=np.float32).sum()
+    )
+    return float(metrics["sup_loss"]), emb_sum
+
+
+def test_two_process_sharded_step_matches_single_process(tmp_path):
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the worker pins its own JAX_PLATFORMS/XLA_FLAGS before importing jax
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                rec = json.loads(line[len("RESULT "):])
+                results[rec["pid"]] = rec
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+
+    # both processes see the SAME replicated metrics
+    np.testing.assert_allclose(
+        results[0]["sup_loss"], results[1]["sup_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        results[0]["emb_sum"], results[1]["emb_sum"], rtol=1e-6
+    )
+
+    ref_loss, ref_emb = _single_process_reference()
+    np.testing.assert_allclose(results[0]["sup_loss"], ref_loss, rtol=1e-4)
+    np.testing.assert_allclose(results[0]["emb_sum"], ref_emb, rtol=1e-4)

@@ -1,0 +1,125 @@
+"""Mesh-driven training through the PRODUCT surface (config -> train()):
+the full unified trainer on a (data, model) mesh must match the
+single-device trainer's metrics (VERDICT r1 item 1 — the sharding layer
+must be reachable from the config, not only from bespoke test steps)."""
+
+import numpy as np
+import pytest
+
+from ikea_recommender_tpu.core.config import (
+    Config,
+    DataConfig,
+    ExperimentConfig,
+    MetricsConfig,
+    ParallelConfig,
+    TrainConfig,
+    config_from_dict,
+)
+from ikea_recommender_tpu.data.synthetic import synthetic_buffers
+from ikea_recommender_tpu.run.trainer import train
+
+A = 24
+
+
+def _cfg(tmp_path, model="gru4rec", parallel=None, **train_kw):
+    return Config(
+        experiment=ExperimentConfig(seed=0),
+        data=DataConfig(num_items=A),
+        train=TrainConfig(
+            model=model,
+            batch_size=16,
+            val_batch_size=32,
+            epochs=1,
+            learning_rate=0.01,
+            embedding_size=8,
+            hidden_state_size=8,
+            state_size=5,
+            best_model_metric="Val_NDCG@10",
+            eval_at=[0.5, 1.0],
+            q_weights=[1.0, 1.0, 1.0],
+            **train_kw,
+        ),
+        metrics=MetricsConfig(
+            topk_cov=[1, 5], topk_hr_ndcg=[5, 10], topk_div=1, topk_nov=1
+        ),
+        parallel=parallel or ParallelConfig(),
+        exp_dir=str(tmp_path),
+    )
+
+
+def _buffers():
+    train_buf, _ = synthetic_buffers(num_sessions=80, num_items=A, state_len=5, seed=1)
+    _, val_buf = synthetic_buffers(num_sessions=30, num_items=A, state_len=5, seed=2)
+    return train_buf, val_buf
+
+
+def _run(tmp_path, model, parallel, **kw):
+    cfg = _cfg(tmp_path, model=model, parallel=parallel, **kw)
+    train_buf, val_buf = _buffers()
+    extra = {}
+    if model == "smorl":
+        rs = np.random.RandomState(0)
+        extra = {
+            "div_embedding": rs.randn(A + 1, 8).astype(np.float32),
+            "unpopular": set(range(0, A, 3)),
+        }
+    return train(cfg, train_buf=train_buf, val_buf=val_buf, **extra)
+
+
+_COMPARE_KEYS = (
+    "Supervised Train Loss",
+    "Val_HR@10",
+    "Val_NDCG@10",
+    "Val_NOV_CV@5",
+    "Val_Div_Reward",
+)
+
+
+@pytest.mark.parametrize("model", ["gru4rec", "smorl"])
+def test_mesh_train_matches_single_device(tmp_path, model):
+    ref = _run(tmp_path / "single", model, ParallelConfig())
+    got = _run(tmp_path / "mesh", model, ParallelConfig(data=4, model=2))
+    assert len(ref.logs) == len(got.logs)
+    for r, g in zip(ref.logs, got.logs):
+        for key in _COMPARE_KEYS:
+            if key in r:
+                np.testing.assert_allclose(g[key], r[key], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(got.best_metric, ref.best_metric, rtol=2e-3)
+
+
+def test_mesh_sharded_ce_matches_dense(tmp_path):
+    """Product-surface integration of the sharded flash-CE step. Step-level
+    exactness is owned by test_sharded_fused_ce.py; across a training run
+    Adam amplifies fp32 reduction-order differences, so this compares final
+    quality loosely and the pre-drift first train window tightly-ish."""
+    ref = _run(tmp_path / "dense", "gru4rec", ParallelConfig(data=2, model=4))
+    got = _run(
+        tmp_path / "flash",
+        "gru4rec",
+        ParallelConfig(data=2, model=4, sharded_ce=True),
+    )
+    np.testing.assert_allclose(
+        got.logs[0]["Supervised Train Loss"],
+        ref.logs[0]["Supervised Train Loss"],
+        rtol=5e-2,
+    )
+    np.testing.assert_allclose(got.best_metric, ref.best_metric, atol=0.1)
+    assert got.best_metric > 0.3  # it actually learns the synthetic process
+
+
+def test_parallel_config_from_yaml_dict(tmp_path):
+    cfg = config_from_dict(
+        {
+            "data": {"num_items": A},
+            "train": {"model": "gru4rec", "batch_size": 16},
+            "parallel": {"data": 4, "model": 2},
+        }
+    )
+    assert cfg.parallel.data == 4 and cfg.parallel.model == 2
+    cfg2 = config_from_dict({"parallel": {"mesh": {"data": 2, "model": 1}}})
+    assert cfg2.parallel.data == 2
+
+    bad = _cfg(tmp_path, parallel=ParallelConfig(data=3, model=1))
+    train_buf, val_buf = _buffers()
+    with pytest.raises(ValueError, match="divide the data axis"):
+        train(bad, train_buf=train_buf, val_buf=val_buf)
