@@ -1,12 +1,30 @@
 """Benchmark: GRU4Rec train-step throughput at the RetailRocket operating
 point (SURVEY.md §6: catalog 70852, state_len 10, emb/hidden 64, batch 256)
-on the attached TPU chip.
+on the attached TPU chip (v5e via the axon tunnel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``python bench.py --detail`` additionally rewrites BENCH_DETAIL.md with
+per-family and kernel-on/off numbers.
+
+MEASUREMENT METHODOLOGY (critical on this tunnel — docs/performance.md):
+``block_until_ready`` on the axon backend returns before device execution
+completes, so wall-clocking a stream of dispatches measures dispatch-queue
+throughput, not compute. Round 1's recorded 2.44M sessions/s was exactly
+that artifact (it implied 2.4TB/s of Adam traffic on an 0.82TB/s chip —
+flagged in VERDICT r1). The honest protocol, used here:
+
+- run K optimizer steps inside ONE jitted ``lax.scan`` (guaranteed
+  sequential on device),
+- force execution with a checksum readback that data-depends on the result,
+- time two loop lengths and difference them, cancelling the ~26ms dispatch
+  round-trip and the readback cost,
+- best-of-trials against tunnel noise.
 
 The reference publishes no throughput numbers (BASELINE.md) — vs_baseline
 compares against the previous round's recorded result when present
-(BENCH_r*.json), else 1.0.
+(BENCH_r*.json), else 1.0. BENCH_r01.json predates this methodology fix;
+the apparent ~10x drop vs r1 is the removal of a measurement artifact, not
+a regression (BENCH_DETAIL.md).
 """
 
 from __future__ import annotations
@@ -14,6 +32,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
 import time
 
 import jax
@@ -82,21 +101,39 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
     return step, state, batch_d
 
 
-def measure(step, state, batch, warmup=10, iters=100, trials=5):
-    """Best-of-trials steps/s: the attached TPU rides a shared tunnel with
-    multi-x run-to-run noise; min-time is the standard robust estimator for
-    a deterministic workload under additive interference."""
-    for _ in range(warmup):
-        state, m = step(state, batch)
-    jax.block_until_ready((state, m))
+def _scan_loop(step, K):
+    """K sequential optimizer steps in one program + checksum output."""
+
+    def loop(state, batch, aux):
+        def body(s, _):
+            s, _m = step.raw(s, batch, aux)
+            return s, None
+
+        s, _ = jax.lax.scan(body, state, None, length=K)
+        emb = s.params["backbone"]["embedding"]
+        return emb.reshape(-1)[::8191].astype(jnp.float32).sum()
+
+    return jax.jit(loop)
+
+
+def _timed_readback(fn, *args, trials):
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = step(state, batch)
-        jax.block_until_ready((state, m))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return 1.0 / best
+        float(fn(*args))  # forces real device execution on the tunnel
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure(step, state, batch, k1=4, k2=32, trials=4):
+    """Honest steps/s via in-jit scan + readback differencing (see module
+    docstring). Returns steps per second."""
+    f1 = _scan_loop(step, k1)
+    f2 = _scan_loop(step, k2)
+    t1 = _timed_readback(f1, state, batch, step.aux, trials=trials)
+    t2 = _timed_readback(f2, state, batch, step.aux, trials=trials)
+    per_step = (t2 - t1) / (k2 - k1)
+    return 1.0 / per_step
 
 
 def previous_round_value(metric: str):
@@ -104,6 +141,7 @@ def previous_round_value(metric: str):
     for path in sorted(glob.glob("BENCH_r*.json")):
         try:
             rec = json.load(open(path))
+            rec = rec.get("parsed", rec)  # driver wraps the JSON line
             if rec.get("metric") == metric and rec.get("value"):
                 best = rec["value"]
         except Exception:
@@ -111,7 +149,57 @@ def previous_round_value(metric: str):
     return best
 
 
+def detail():
+    """Per-family and kernel-on/off numbers -> BENCH_DETAIL.md (guards the
+    fused-kernel wins; VERDICT r1 item 6). All arms in ONE process."""
+    batch = 256
+    rows = []
+    arms = [
+        ("gru4rec", dict(fused_ce=True), "fused CE (default)"),
+        ("gru4rec", dict(fused_ce=False), "dense CE"),
+        ("gru4rec", dict(scan_impl="xla"), "XLA GRU scan (fused CE)"),
+        ("sqn", dict(fused_ce=True), "fused argmax+CE (default)"),
+        ("sqn", dict(fused_ce=False), "dense"),
+        ("smorl", dict(fused_ce=True), "fused argmax (default)"),
+        ("smorl", dict(fused_ce=False), "dense"),
+        ("sarm", dict(), "dense (only path)"),
+    ]
+    for model, kw, label in arms:
+        step, state, batch_d = build(model=model, batch=batch, **kw)
+        sps = measure(step, state, batch_d)
+        rows.append((model, label, sps * batch, 1e6 / sps))
+        print(
+            json.dumps(
+                {
+                    "model": model,
+                    "arm": label,
+                    "sessions_per_sec": round(sps * batch, 1),
+                    "us_per_step": round(1e6 / sps, 1),
+                }
+            ),
+            file=sys.stderr,
+        )
+    lines = [
+        "# BENCH detail (honest scan+readback methodology — see bench.py)",
+        "",
+        "Single v5e chip via the axon tunnel; RetailRocket operating point",
+        "(catalog 70852, batch 256, state_len 10, emb/hidden 64, fp32 params).",
+        "All arms measured back-to-back in one process; tunnel noise means",
+        "only within-table ratios are meaningful.",
+        "",
+        "| model | arm | sessions/s | µs/step |",
+        "|---|---|---|---|",
+    ]
+    for model, label, sps, us in rows:
+        lines.append(f"| {model} | {label} | {sps:,.0f} | {us:,.1f} |")
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return rows
+
+
 def main():
+    if "--detail" in sys.argv:
+        detail()
     batch = 256
     step, state, batch_d = build(batch=batch)
     steps_per_sec = measure(step, state, batch_d)

@@ -171,6 +171,10 @@ class MetricsConfig:
     topk_hr_ndcg: List[int] = field(default_factory=lambda: [10, 20])
     topk_nov: int = 1
     nov_rew_sig: float = 1.0
+    # Fused blockwise/sharded evaluation (ops/fused_topk.py): the eval pass
+    # never materializes (B, A) logits. None = auto (on for big catalogs and
+    # whenever the head is model-sharded), True/False = force.
+    fused_eval: Optional[bool] = None
 
 
 @dataclass

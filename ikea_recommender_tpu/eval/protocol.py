@@ -35,18 +35,25 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ikea_recommender_tpu.core.mesh import DATA_AXIS
 
-from ikea_recommender_tpu.models.families import ModelConfig, apply_model
+from ikea_recommender_tpu.models.families import (
+    FUSED_CE_MIN_ACTIONS,
+    ModelConfig,
+    apply_features,
+    apply_model,
+)
 from ikea_recommender_tpu.ops.coverage import (
     coverage_ratios,
     init_coverage,
-    update_coverage,
+    update_coverage_from_topk,
 )
-from ikea_recommender_tpu.ops.ranking import hr_ndcg_at_k
+from ikea_recommender_tpu.ops.fused_topk import blockwise_head_topk_ce, eval_head
+from ikea_recommender_tpu.ops.ranking import hr_ndcg_from_topk, topk_indices
 from ikea_recommender_tpu.ops.rewards import (
-    diversity_rewards,
-    novelty_rewards,
-    repetition_counts,
+    diversity_from_topk,
+    novelty_from_topk,
+    repetitions_from_topk,
 )
+from ikea_recommender_tpu.parallel.topk import sharded_head_topk_ce
 
 
 @struct.dataclass
@@ -95,6 +102,7 @@ class EvalProtocol:
         out_to_in: Optional[jax.Array] = None,
         head_idx: int = 0,
         mesh=None,
+        fused: Optional[bool] = None,
     ):
         self.model_cfg = model_cfg
         # Optional (data, model) mesh: scanned eval batches are pinned to
@@ -117,6 +125,30 @@ class EvalProtocol:
             unpopular_mask = jnp.zeros((self.num_actions,), dtype=bool)
         self.unpopular_mask = jnp.asarray(unpopular_mask)
         self.out_to_in = None if out_to_in is None else jnp.asarray(out_to_in)
+
+        # Fused (blockwise / sharded) eval: one head+top-k+CE scan replaces
+        # the dense (B, A) logits (ops/fused_topk.py). Auto-on for big
+        # catalogs and whenever the head is model-axis-sharded; only single
+        # linear eval heads qualify (not SMORL's stacked Q output).
+        fam = model_cfg.family
+        can_fuse = (
+            fam == "sarm"
+            or head_idx == 0
+            or (fam == "sqn" and head_idx == 1)
+        )
+        from ikea_recommender_tpu.core.mesh import MODEL_AXIS
+
+        self._model_sharded = mesh is not None and mesh.shape[MODEL_AXIS] > 1
+        if fused is None:
+            fused = self._model_sharded or (
+                self.num_actions >= FUSED_CE_MIN_ACTIONS
+            )
+        self.fused = bool(fused) and can_fuse
+        # widest top-k any metric needs — computed once per batch
+        self._max_k = max(
+            [max(self.topk_hr_ndcg), max(self.topk_cov), topk_div, topk_nov]
+        )
+
         # aux arrays ride as jit ARGUMENTS (closure-captured device arrays
         # become HLO literal constants, which the TPU compile path handles
         # pathologically slowly — minutes per program).
@@ -157,28 +189,57 @@ class EvalProtocol:
         div_embedding = aux["div_embedding"]
         unpopular_mask = aux["unpopular_mask"]
         out_to_in = aux.get("out_to_in")
-        outs = apply_model(params, self.model_cfg, state, true_len)
-        preds = outs[self.head_idx]
 
-        per_ce = optax.softmax_cross_entropy_with_integer_labels(preds, action)
+        if self.fused:
+            # ONE blockwise head scan -> (top-K ids, per-sample CE); the
+            # (B, A) logits never materialize. Every metric below consumes
+            # the id prefix it needs — exactly equal to the dense path.
+            h = apply_features(params, self.model_cfg, state, true_len)
+            kernel, bias = eval_head(params, self.model_cfg, self.head_idx)
+            if self._model_sharded:
+                from ikea_recommender_tpu.core.mesh import DATA_AXIS as _D
+
+                _, idx, per_ce = sharded_head_topk_ce(
+                    h,
+                    kernel,
+                    bias,
+                    self._max_k,
+                    self.num_actions,
+                    self.mesh,
+                    labels=action,
+                    data_axis=_D,
+                )
+            else:
+                _, idx, per_ce = blockwise_head_topk_ce(
+                    h, kernel, bias, self._max_k, self.num_actions, labels=action
+                )
+        else:
+            outs = apply_model(params, self.model_cfg, state, true_len)
+            preds = outs[self.head_idx]
+            per_ce = optax.softmax_cross_entropy_with_integer_labels(preds, action)
+            idx = topk_indices(preds, self._max_k)
+
         w = valid.astype(per_ce.dtype)
         batch_loss = jnp.sum(per_ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-        div = diversity_rewards(
+        div = diversity_from_topk(
             state,
-            preds,
+            idx[:, : self.topk_div],
             true_len,
             self.padding_pos,
-            self.topk_div,
             div_embedding,
             out_to_in=out_to_in,
         )
-        nov = novelty_rewards(preds, unpopular_mask, self.nov_rew_sig, self.topk_nov)
-        hits, ndcg = hr_ndcg_at_k(preds, action, self.topk_hr_ndcg, valid=valid)
-        reps = repetition_counts(
-            state, preds, self.topk_hr_ndcg, out_to_in=out_to_in, valid=valid
+        nov = novelty_from_topk(
+            idx[:, : self.topk_nov], unpopular_mask, self.nov_rew_sig
         )
-        covered = update_coverage(accum.covered, preds, self.topk_cov, valid=valid)
+        hits, ndcg = hr_ndcg_from_topk(idx, action, self.topk_hr_ndcg, valid=valid)
+        reps = repetitions_from_topk(
+            state, idx, self.topk_hr_ndcg, out_to_in=out_to_in, valid=valid
+        )
+        covered = update_coverage_from_topk(
+            accum.covered, idx, self.topk_cov, valid=valid
+        )
 
         return EvalAccum(
             loss_sum=accum.loss_sum + batch_loss,

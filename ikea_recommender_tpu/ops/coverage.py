@@ -25,14 +25,12 @@ def init_coverage(num_actions: int, num_ks: int) -> jax.Array:
     return jnp.zeros((num_ks, num_actions), dtype=bool)
 
 
-def update_coverage(
+def update_coverage_from_topk(
     covered: jax.Array,  # (n_k, A) bool
-    predictions: jax.Array,  # (B, A)
+    idx: jax.Array,  # (B, >= max k) top-k predicted action ids
     top_k: Sequence[int],
     valid: jax.Array | None = None,
 ) -> jax.Array:
-    max_k = max(top_k)
-    idx = topk_indices(predictions, max_k)  # (B, maxk)
     new_rows = []
     for i, k in enumerate(top_k):
         ids = idx[:, :k]
@@ -43,6 +41,16 @@ def update_coverage(
         row = covered[i].at[ids.reshape(-1)].max(updates.reshape(-1))
         new_rows.append(row)
     return jnp.stack(new_rows)
+
+
+def update_coverage(
+    covered: jax.Array,  # (n_k, A) bool
+    predictions: jax.Array,  # (B, A)
+    top_k: Sequence[int],
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    idx = topk_indices(predictions, max(top_k))
+    return update_coverage_from_topk(covered, idx, top_k, valid)
 
 
 def coverage_ratios(

@@ -36,6 +36,27 @@ def hit_ranks(topk_idx: jax.Array, true_idx: jax.Array) -> Tuple[jax.Array, jax.
     return hit, rank
 
 
+def hr_ndcg_from_topk(
+    topk_idx: jax.Array,
+    true_idx: jax.Array,
+    top_k: Sequence[int],
+    valid: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batch sums of hits and NDCG for each k from PRECOMPUTED (B, >=max k)
+    top-k ids (the fused eval path computes those once for every metric —
+    ops/fused_topk.py). Returns (hits (len(top_k),), ndcg (len(top_k),))."""
+    hit, rank = hit_ranks(topk_idx, true_idx)
+    if valid is None:
+        valid = jnp.ones_like(hit)
+    hits, ndcgs = [], []
+    for k in top_k:
+        hit_k = hit & (rank <= k) & valid
+        ndcg_k = jnp.where(hit_k, 1.0 / jnp.log2(rank.astype(jnp.float32) + 1.0), 0.0)
+        hits.append(jnp.sum(hit_k))
+        ndcgs.append(jnp.sum(ndcg_k))
+    return jnp.stack(hits).astype(jnp.float32), jnp.stack(ndcgs)
+
+
 def hr_ndcg_at_k(
     predictions: jax.Array,
     true_idx: jax.Array,
@@ -47,18 +68,8 @@ def hr_ndcg_at_k(
 
     Returns (hits (len(top_k),), ndcg (len(top_k),)).
     """
-    max_k = max(top_k)
-    idx = topk_indices(predictions, max_k)
-    hit, rank = hit_ranks(idx, true_idx)
-    if valid is None:
-        valid = jnp.ones_like(hit)
-    hits, ndcgs = [], []
-    for k in top_k:
-        hit_k = hit & (rank <= k) & valid
-        ndcg_k = jnp.where(hit_k, 1.0 / jnp.log2(rank.astype(jnp.float32) + 1.0), 0.0)
-        hits.append(jnp.sum(hit_k))
-        ndcgs.append(jnp.sum(ndcg_k))
-    return jnp.stack(hits).astype(jnp.float32), jnp.stack(ndcgs)
+    idx = topk_indices(predictions, max(top_k))
+    return hr_ndcg_from_topk(idx, true_idx, top_k, valid)
 
 
 def hr_ndcg_by_action_type(

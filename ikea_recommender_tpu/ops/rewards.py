@@ -28,12 +28,11 @@ def get_last_action(
     return states[:, -1]
 
 
-def diversity_rewards(
+def diversity_from_topk(
     states: jax.Array,  # (B, T) input-token ids
-    predictions: jax.Array,  # (B, A) output-head scores
+    pred_idx: jax.Array,  # (B, k) top-k predicted action ids
     lengths: jax.Array,  # (B,)
     padding_pos: str,
-    topk: int,
     div_embedding: jax.Array,  # (V_in, E) FROZEN pretrained embedding
     out_to_in: Optional[jax.Array] = None,  # (A,) output->input remap table
     eps: float = 1e-6,
@@ -41,7 +40,6 @@ def diversity_rewards(
     """reward = 1 - mean cosine-sim(emb(last item), emb(top-k preds))
     (reference ``diversity.py:15-73``). Range [0, 2]."""
     last = get_last_action(states, lengths, padding_pos)  # (B,)
-    pred_idx = topk_indices(predictions, topk)  # (B, k)
     if out_to_in is not None:
         pred_idx = out_to_in[pred_idx]
     div_embedding = jax.lax.stop_gradient(div_embedding)
@@ -57,23 +55,51 @@ def diversity_rewards(
     return 1.0 - jnp.mean(sim, axis=1)  # (B,)
 
 
+def diversity_rewards(
+    states: jax.Array,  # (B, T) input-token ids
+    predictions: jax.Array,  # (B, A) output-head scores
+    lengths: jax.Array,  # (B,)
+    padding_pos: str,
+    topk: int,
+    div_embedding: jax.Array,
+    out_to_in: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+) -> jax.Array:
+    return diversity_from_topk(
+        states,
+        topk_indices(predictions, topk),
+        lengths,
+        padding_pos,
+        div_embedding,
+        out_to_in=out_to_in,
+        eps=eps,
+    )
+
+
+def novelty_from_topk(
+    pred_idx: jax.Array,  # (B, k) top-k predicted action ids
+    unpopular_mask: jax.Array,  # (A,) bool
+    reward: float = 1.0,
+) -> jax.Array:
+    """Per-sample mean of (top-k prediction is unpopular) * reward
+    (reference ``novelty.py:12-47``; no vocab remap there either — the
+    unpopular set lives in output-token space)."""
+    nov = unpopular_mask[pred_idx].astype(jnp.float32) * reward
+    return jnp.mean(nov, axis=1)
+
+
 def novelty_rewards(
     predictions: jax.Array,  # (B, A)
     unpopular_mask: jax.Array,  # (A,) bool
     reward: float = 1.0,
     topk: int = 1,
 ) -> jax.Array:
-    """Per-sample mean of (top-k prediction is unpopular) * reward
-    (reference ``novelty.py:12-47``; no vocab remap there either — the
-    unpopular set lives in output-token space)."""
-    idx = topk_indices(predictions, topk)  # (B, k)
-    nov = unpopular_mask[idx].astype(jnp.float32) * reward
-    return jnp.mean(nov, axis=1)
+    return novelty_from_topk(topk_indices(predictions, topk), unpopular_mask, reward)
 
 
-def repetition_counts(
+def repetitions_from_topk(
     states: jax.Array,  # (B, T) input-token ids
-    predictions: jax.Array,  # (B, A)
+    idx: jax.Array,  # (B, >= max k) top-k predicted action ids
     top_k: Sequence[int],
     out_to_in: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
@@ -81,8 +107,6 @@ def repetition_counts(
     """Total count, per k, of top-k predicted items already present in the
     input state (reference ``repetitiveness.py:21-57``: broadcast equality,
     summed over batch). Returns (len(top_k),) float sums."""
-    max_k = max(top_k)
-    idx = topk_indices(predictions, max_k)  # (B, maxk)
     if out_to_in is not None:
         idx = out_to_in[idx]
     eq = states[:, :, None] == idx[:, None, :]  # (B, T, maxk)
@@ -92,3 +116,19 @@ def repetition_counts(
     for k in top_k:
         out.append(jnp.sum(eq[:, :, :k]))
     return jnp.stack(out).astype(jnp.float32)
+
+
+def repetition_counts(
+    states: jax.Array,  # (B, T) input-token ids
+    predictions: jax.Array,  # (B, A)
+    top_k: Sequence[int],
+    out_to_in: Optional[jax.Array] = None,
+    valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    return repetitions_from_topk(
+        states,
+        topk_indices(predictions, max(top_k)),
+        top_k,
+        out_to_in=out_to_in,
+        valid=valid,
+    )

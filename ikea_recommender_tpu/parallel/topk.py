@@ -103,6 +103,82 @@ def sharded_softmax_ce(
     )(logits, labels)
 
 
+def sharded_head_topk_ce(
+    h: jax.Array,  # (B, F) backbone features
+    kernel: jax.Array,  # (F, A_pad) head weights, columns sharded on model
+    bias: jax.Array,  # (A_pad,)
+    k: int,
+    action_dim: int,  # REAL catalog size (A_pad - action_dim columns masked)
+    mesh: Mesh,
+    labels: jax.Array | None = None,  # (B,) global ids, for per-sample CE
+    data_axis: str | None = None,
+    block_cols: int | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array | None]:
+    """Fused head + top-k + CE over an ACTION-SHARDED head: each shard runs
+    the blockwise scan (ops/fused_topk.py) on its local columns — logits
+    never materialize, not even per shard — then k candidates + logsumexp
+    pieces + the label logit merge across the model axis (payload O(B*k)).
+
+    -> (top_vals (B, k), GLOBAL top_idx (B, k), per_sample_ce (B,) | None).
+    Exact top-k vs the dense computation (tie order included); CE exact to
+    accumulation order. This is the large-catalog eval/serving path that
+    replaces reference ``evaluate/eval_protocol.py:173-233``.
+    """
+    from ikea_recommender_tpu.ops.fused_topk import (
+        DEFAULT_BLOCK_COLS,
+        blockwise_head_topk_ce,
+    )
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    A_pad = kernel.shape[1]
+    if A_pad % n_shards:
+        raise ValueError(f"action dim {A_pad} not divisible by model axis {n_shards}")
+    shard_A = A_pad // n_shards
+    want_ce = labels is not None
+    if labels is None:
+        labels = jnp.zeros((h.shape[0],), jnp.int32)
+    blk = min(block_cols or DEFAULT_BLOCK_COLS, shard_A)
+
+    def local(h_l, kernel_l, bias_l, labels_l):
+        my = jax.lax.axis_index(MODEL_AXIS)
+        top_v, top_i, m, s, lbl = blockwise_head_topk_ce(
+            h_l,
+            kernel_l,
+            bias_l,
+            k,
+            action_dim,
+            labels=labels_l,
+            block_cols=blk,
+            col_offset=my * shard_A,
+            raw_pieces=True,
+        )
+        # top-k merge: shard-major concat keeps ascending global column
+        # order, so ties resolve to the lower global index like dense top_k
+        all_v = jax.lax.all_gather(top_v, MODEL_AXIS)  # (n, B, k)
+        all_i = jax.lax.all_gather(top_i, MODEL_AXIS)
+        cat_v = jnp.moveaxis(all_v, 0, 1).reshape(top_v.shape[0], -1)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(top_v.shape[0], -1)
+        g_v, pos = jax.lax.top_k(cat_v, k)
+        g_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        # logsumexp merge + label logit (owned by exactly one shard; the
+        # others carry the -1e30 sentinel, so a pmax recovers it)
+        g_m = jax.lax.pmax(m, MODEL_AXIS)
+        g_s = jax.lax.psum(s * jnp.exp(m - g_m), MODEL_AXIS)
+        g_lbl = jax.lax.pmax(lbl, MODEL_AXIS)
+        per_ce = (g_m + jnp.log(g_s)) - g_lbl
+        return g_v, g_i, per_ce
+
+    b = data_axis
+    g_v, g_i, per_ce = shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(b, None), P(None, MODEL_AXIS), P(MODEL_AXIS), P(b)),
+        out_specs=(P(b), P(b), P(b)),
+    )(h, kernel, bias, labels)
+    return g_v, g_i, (per_ce if want_ce else None)
+
+
 def sharded_embedding_lookup(
     table: jax.Array, ids: jax.Array, mesh: Mesh, data_axis: str | None = None
 ) -> jax.Array:

@@ -363,6 +363,7 @@ def train(
         out_to_in=out_to_in,
         head_idx=t_cfg.head_idx,
         mesh=mesh,
+        fused=m_cfg.fused_eval,
     )
 
     tracker = BestModelTracker(
