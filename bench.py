@@ -42,7 +42,7 @@ import numpy as np
 
 def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
           emb=64, hidden=64, compute_dtype="float32", scan_impl="pallas",
-          fused_ce=True):
+          fused_ce=True, mv_dtype=None):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.models.families import model_config_from_train
     from ikea_recommender_tpu.train.state import (
@@ -68,7 +68,7 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
         from dataclasses import replace
 
         mc = replace(mc, backbone=replace(mc.backbone, scan_impl=scan_impl))
-    opt = make_optimizer(0.01)
+    opt = make_optimizer(0.01, mv_dtype)
     rl = RLStepConfig()
     rs = np.random.RandomState(0)
     aux = {}
@@ -81,9 +81,9 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
         }
     step = make_train_step(mc, opt, rl, **aux, donate=True)
     if model in ("sqn", "smorl"):
-        state, _ = make_double_q_state(jax.random.key(0), mc, 0.01)
+        state, _ = make_double_q_state(jax.random.key(0), mc, 0.01, mv_dtype)
     else:
-        state, _ = make_train_state(jax.random.key(0), mc, 0.01)
+        state, _ = make_train_state(jax.random.key(0), mc, 0.01, mv_dtype)
     batch_d = {
         "state": jnp.asarray(rs.randint(0, catalog, (batch, state_len)), jnp.int32),
         "action": jnp.asarray(rs.randint(0, catalog, (batch,)), jnp.int32),
@@ -158,11 +158,13 @@ def detail():
         ("gru4rec", dict(fused_ce=True), "fused CE (default)"),
         ("gru4rec", dict(fused_ce=False), "dense CE"),
         ("gru4rec", dict(scan_impl="xla"), "XLA GRU scan (fused CE)"),
+        ("gru4rec", dict(mv_dtype="bfloat16"), "bf16 Adam m/v (fused CE)"),
         ("sqn", dict(fused_ce=True), "fused argmax+CE (default)"),
         ("sqn", dict(fused_ce=False), "dense"),
         ("smorl", dict(fused_ce=True), "fused argmax (default)"),
         ("smorl", dict(fused_ce=False), "dense"),
-        ("sarm", dict(), "dense (only path)"),
+        ("sarm", dict(fused_ce=True), "fused CE+max (default)"),
+        ("sarm", dict(fused_ce=False), "dense"),
     ]
     for model, kw, label in arms:
         step, state, batch_d = build(model=model, batch=batch, **kw)

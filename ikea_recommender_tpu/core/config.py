@@ -114,6 +114,10 @@ class TrainConfig:
     # updates — train/lazy_adam.py; large-catalog throughput opt-in,
     # gru4rec/bidir only, NOT bit-identical to dense Adam).
     optimizer: str = "adam"
+    # Storage dtype for Adam's m/v moments (e.g. "bfloat16" halves the
+    # dominant optimizer streaming traffic — docs/performance.md roofline).
+    # None = fp32 (reference parity). Math stays fp32 either way.
+    optimizer_mv_dtype: Optional[str] = None
     # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
     # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of
     # true_next_len (sqn_gru.py:231, smorl_gru.py:291).

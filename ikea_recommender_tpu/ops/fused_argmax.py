@@ -33,9 +33,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _block(A: int) -> int:
+def _block(A: int, B: int = 256) -> int:
+    # Same VMEM budget rule as ops/fused_ce.py:_block — the (B, BLK) logits
+    # tile is capped at ~2MB so large batches still fit scoped vmem.
+    cap = max(128, (2 * 1024 * 1024 // (4 * max(B, 1))) // 128 * 128)
     for blk in (2048, 1024, 512, 256, 128):
-        if A % blk == 0 or A > blk:
+        if blk <= cap and (A % blk == 0 or A > blk):
             return blk
     return 128
 
@@ -89,7 +92,7 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))
     B, F = h.shape
     A = w.shape[1]
-    blk = _block(A)
+    blk = _block(A, B)
     grid = pl.cdiv(A, blk)
     Ap = grid * blk
     if Ap != A:
@@ -173,7 +176,7 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))  # see fused_linear_argmax
     B, F = h.shape
     _, K, A = w.shape
-    blk = _block(A)
+    blk = _block(A, B * K)
     grid = pl.cdiv(A, blk)
     Ap = grid * blk
     if Ap != A:

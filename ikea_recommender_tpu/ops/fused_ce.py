@@ -49,12 +49,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _block(A: int) -> int:
-    # One W block (F<=256, BLK) fp32 plus a (B, BLK) logits tile must sit in
-    # VMEM with double buffering; 2048 keeps the working set ~3MB at the
-    # reference shapes while amortizing the per-block fixed cost.
+def _block(A: int, B: int = 256) -> int:
+    # One W block (F<=256, BLK) fp32 plus a few (B, BLK) fp32 tiles (logits,
+    # softmax, dlogits in the bwd) must sit in VMEM with double buffering.
+    # Cap the (B, BLK) tile at ~2MB so the bwd's ~2.2x working set stays
+    # inside the 16MB scoped-vmem limit at any batch (measured: B=512 with
+    # BLK=2048 exceeds it by 2.85MB).
+    cap = max(128, (2 * 1024 * 1024 // (4 * max(B, 1))) // 128 * 128)
     for blk in (2048, 1024, 512, 256, 128):
-        if A % blk == 0 or A > blk:
+        if blk <= cap and (A % blk == 0 or A > blk):
             return blk
     return 128
 
@@ -110,7 +113,7 @@ def _fwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref,
 def _fwd(h, w, b, labels, valid_dim, precision: str = "highest"):
     B, F = h.shape
     A = w.shape[1]
-    blk = _block(A)
+    blk = _block(A, B)
     grid = pl.cdiv(A, blk)
     # Pad A so every block is full (the index mask handles the tail).
     Ap = grid * blk
@@ -197,7 +200,7 @@ def _bwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
 def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
     B, F = h.shape
     A = w.shape[1]
-    blk = _block(A)
+    blk = _block(A, B)
     grid = pl.cdiv(A, blk)
     Ap = grid * blk
     pad = Ap - A

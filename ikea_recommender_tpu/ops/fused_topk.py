@@ -151,6 +151,61 @@ def blockwise_head_topk_ce(
     return top_v, top_i, per_ce
 
 
+def blockwise_multihead_max(
+    h: jax.Array,  # (B, F)
+    kernel: jax.Array,  # (F, K, A_pad) stacked head kernel (heads.py layout)
+    bias: jax.Array,  # (K, A_pad)
+    action_dim: int,
+    block_cols: int = DEFAULT_BLOCK_COLS,
+) -> jax.Array:
+    """max_a (h @ kernel[:,k,:] + bias[k])[.., :action_dim] per head ->
+    (B, K), never materializing (B, K, A). SARM's self-bootstrapped target
+    (``max over outs_next``, reference ``sarm.py:143-146``) needs exactly
+    this. Forward-only: inputs are stop-gradiented (targets sit under
+    stop_gradient in every consumer)."""
+    h, kernel, bias = map(jax.lax.stop_gradient, (h, kernel, bias))
+    B, F = h.shape
+    _, K, A_pad = kernel.shape
+    block_cols = min(block_cols, A_pad)
+    n_blocks = -(-A_pad // block_cols)
+    pad_to = n_blocks * block_cols
+    if pad_to != A_pad:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_to - A_pad)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad_to - A_pad)))
+    # (F, K, A) -> (F, K*A) so each block is ONE plain MXU matmul
+    kflat = kernel.reshape(F, -1)
+
+    def body(m, j):
+        start = j * block_cols
+        cols = start + jnp.arange(block_cols, dtype=jnp.int32)
+        blk = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    kflat, (0, k * pad_to + start), (F, block_cols)
+                )
+                for k in range(K)
+            ],
+            axis=1,
+        )  # (F, K, W)
+        bb = jax.lax.dynamic_slice(bias, (0, start), (K, block_cols))
+        logits = (
+            jnp.dot(
+                h,
+                blk.reshape(F, K * block_cols),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(h.dtype),
+            ).reshape(B, K, block_cols)
+            + bb[None]
+        )
+        ok = (cols < action_dim) & (cols < A_pad)
+        logits = jnp.where(ok[None, None, :], logits, _NEG)
+        return jnp.maximum(m, jnp.max(logits, axis=2)), None
+
+    init = jnp.full((B, K), _NEG, jnp.float32)
+    m, _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return m
+
+
 def eval_head(params: Dict, model_cfg, head_idx: int) -> Tuple[jax.Array, jax.Array]:
     """(kernel (F, A_pad), bias (A_pad,)) of the head the eval protocol
     scores with (reference ``evaluate/eval_protocol.py:103-120`` selects the

@@ -298,7 +298,7 @@ def train(
         from dataclasses import replace as _dc_replace
 
         model_cfg = _dc_replace(model_cfg, fused_ce=False)
-    opt = make_optimizer(t_cfg.learning_rate)
+    opt = make_optimizer(t_cfg.learning_rate, t_cfg.optimizer_mv_dtype)
     rl = RLStepConfig(
         gamma=t_cfg.gamma,
         alpha=t_cfg.alpha,
@@ -320,13 +320,17 @@ def train(
             "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
         )
     if family in DOUBLE_Q_FAMILIES:
-        state, _ = make_double_q_state(key, model_cfg, t_cfg.learning_rate)
+        state, _ = make_double_q_state(
+            key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
+        )
     elif lazy:
         from ikea_recommender_tpu.train.state import make_lazy_train_state
 
         state, _ = make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)
     else:
-        state, _ = make_train_state(key, model_cfg, t_cfg.learning_rate)
+        state, _ = make_train_state(
+            key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
+        )
     if p_cfg.sharded_ce:
         if family not in ("gru4rec", "bidir_gru4rec"):
             raise ValueError("sharded_ce supports gru4rec/bidir_gru4rec only")

@@ -41,18 +41,77 @@ class DoubleQState:
     rng: jax.Array
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+def _scale_by_adam_mv(
+    b1: float, b2: float, eps: float, mv_dtype
+) -> optax.GradientTransformation:
+    """optax.scale_by_adam with BOTH moments stored in ``mv_dtype``
+    (math in fp32, storage downcast). At the RetailRocket operating point
+    the m/v streams are the dominant per-step HBM traffic
+    (docs/performance.md roofline); bf16 storage halves them."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=mv_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - jnp.power(b1, c)
+        bc2 = 1.0 - jnp.power(b2, c)
+
+        flat_u, treedef = jax.tree.flatten(updates)
+        flat_m = jax.tree.leaves(state.mu)
+        flat_n = jax.tree.leaves(state.nu)
+        new_m, new_n, new_u = [], [], []
+        for g, m, v in zip(flat_u, flat_m, flat_n):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
+            upd = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            new_m.append(m32.astype(mv_dtype))
+            new_n.append(v32.astype(mv_dtype))
+            new_u.append(upd.astype(g.dtype))
+        return (
+            jax.tree.unflatten(treedef, new_u),
+            optax.ScaleByAdamState(
+                count=count,
+                mu=jax.tree.unflatten(treedef, new_m),
+                nu=jax.tree.unflatten(treedef, new_n),
+            ),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    learning_rate: float, mv_dtype: str | None = None
+) -> optax.GradientTransformation:
     """Adam with torch defaults (betas 0.9/0.999, eps 1e-8) — the reference's
-    optimizer everywhere (``models/GRU4Rec/model.py:121-124``)."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    optimizer everywhere (``models/GRU4Rec/model.py:121-124``).
+
+    ``mv_dtype`` (e.g. "bfloat16", config ``optimizer_mv_dtype``) stores both
+    Adam moments in that dtype — NOT bit-identical to fp32 Adam; A/B'd in
+    BENCH_DETAIL.md + tests/test_fused_topk.py's e2e tolerance check."""
+    if mv_dtype is None:
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.chain(
+        _scale_by_adam_mv(0.9, 0.999, 1e-8, jnp.dtype(mv_dtype)),
+        optax.scale(-learning_rate),
+    )
 
 
 def make_train_state(
-    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float,
+    mv_dtype: str | None = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     k_init, k_state = jax.random.split(key)
     params = init_model(k_init, model_cfg)
-    opt = make_optimizer(learning_rate)
+    opt = make_optimizer(learning_rate, mv_dtype)
     return (
         TrainState(
             params=params,
@@ -65,13 +124,14 @@ def make_train_state(
 
 
 def make_double_q_state(
-    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float,
+    mv_dtype: str | None = None,
 ) -> Tuple[DoubleQState, optax.GradientTransformation]:
     k1, k2, k_state = jax.random.split(key, 3)
     p1 = init_model(k1, model_cfg)
     p2 = init_model(k2, model_cfg)  # independent init, like the reference's
     # sequential torch draws for DQN_1 / DQN_2
-    opt = make_optimizer(learning_rate)
+    opt = make_optimizer(learning_rate, mv_dtype)
     o1, o2 = opt.init(p1), opt.init(p2)
     stack = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
     return (

@@ -457,23 +457,57 @@ def sarm_train_step(
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
     def loss_fn(params):
-        outs = apply_model(params, model_cfg, batch["state"], batch["true_len"])
-        outs_next = apply_model(
-            params, model_cfg, batch["next_state"], batch["true_next_len"]
-        )
-        outs_next = jax.lax.stop_gradient(jnp.stack(outs_next, axis=1))  # (B,5,A)
-        outs_stack = jnp.stack(outs, axis=1)  # (B, 5, A)
+        if model_cfg.fused_ce:
+            # Lean path: no (B, 5, A) logits materialize — fused CE on
+            # head 0, row gather-dots for Q(s, a), and a blockwise per-head
+            # max for the self-bootstrapped targets (honest A/B at the
+            # RetailRocket point: 15.6ms -> see BENCH_DETAIL.md).
+            from ikea_recommender_tpu.ops.fused_topk import (
+                blockwise_multihead_max,
+            )
 
-        q = gather_from_3d(outs_stack, batch["action"])  # (B, 5)
+            h = apply_features(params, model_cfg, batch["state"], batch["true_len"])
+            qh = params["q_heads"]
+            per = fused_softmax_ce(
+                h.astype(jnp.float32),
+                qh["kernel"][:, 0, :],
+                qh["bias"][0],
+                batch["action"],
+                model_cfg.action_dim,
+            )
+            sup_loss = _masked_mean(per, batch["valid"])
+            q = multihead_row_logit(
+                h, qh["kernel"], qh["bias"], batch["action"]
+            )  # (B, 5)
+            h_next = jax.lax.stop_gradient(
+                apply_features(
+                    params, model_cfg, batch["next_state"], batch["true_next_len"]
+                )
+            )
+            q_next = blockwise_multihead_max(
+                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim
+            )  # (B, 5)
+        else:
+            outs = apply_model(params, model_cfg, batch["state"], batch["true_len"])
+            outs_next = apply_model(
+                params, model_cfg, batch["next_state"], batch["true_next_len"]
+            )
+            outs_next = jax.lax.stop_gradient(
+                jnp.stack(outs_next, axis=1)
+            )  # (B,5,A)
+            outs_stack = jnp.stack(outs, axis=1)  # (B, 5, A)
+
+            q = gather_from_3d(outs_stack, batch["action"])  # (B, 5)
+            q_next = jnp.max(outs_next, axis=2)  # (B, 5)
+            sup_loss = _ce_loss(outs[0], batch["action"], batch["valid"])
         # Each head self-bootstraps with its own max (sarm.py:143-146);
         # targets masked at episode ends (reference omits this — see module
         # docstring).
-        q_next = jnp.max(outs_next, axis=2) * not_end[:, None]  # (B, 5)
+        q_next = q_next * not_end[:, None]
         td = (batch["reward"][:, None] + rl.sarm_gamma * q_next - q) ** 2
         q_losses = jnp.sum(
             td * batch["valid"][:, None].astype(td.dtype), axis=0
         ) / jnp.maximum(jnp.sum(batch["valid"]), 1)  # (5,) per-head means
-        sup_loss = _ce_loss(outs[0], batch["action"], batch["valid"])
         total = sup_loss + jnp.mean(q_losses)
         return total, (sup_loss, jnp.mean(q_losses))
 

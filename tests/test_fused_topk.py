@@ -176,6 +176,68 @@ def test_eval_protocol_sharded_fused_matches_dense():
     np.testing.assert_allclose(res_s.loss, res_d.loss, rtol=1e-5)
 
 
+def test_blockwise_multihead_max_matches_dense():
+    from ikea_recommender_tpu.ops.fused_topk import blockwise_multihead_max
+
+    rs = np.random.RandomState(6)
+    B, F, K, A_pad, A = 8, 8, 5, 64, 57
+    h = jnp.asarray(rs.randn(B, F).astype(np.float32))
+    kernel = jnp.asarray(rs.randn(F, K, A_pad).astype(np.float32))
+    bias = jnp.asarray(rs.randn(K, A_pad).astype(np.float32))
+    dense = jnp.einsum("bf,fka->bka", h, kernel) + bias[None]
+    col = jnp.arange(A_pad)
+    dense = jnp.where(col[None, None, :] < A, dense, -1e30)
+    want = jnp.max(dense, axis=2)
+    got = jax.jit(
+        lambda h, kk, bb: blockwise_multihead_max(h, kk, bb, A, block_cols=16)
+    )(h, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_sarm_lean_step_matches_dense():
+    """SARM fused path (fused CE on head 0 + row gather-dots + blockwise
+    per-head max) == the dense (B, 5, A) step, to accumulation order."""
+    from dataclasses import replace
+
+    from ikea_recommender_tpu.train.state import make_optimizer, make_train_state
+    from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
+
+    A, B, T = 40, 12, 5
+    tc = TrainConfig(model="sarm", embedding_size=8, hidden_state_size=8, state_size=T)
+    mc_dense = model_config_from_train(tc, DataConfig(num_items=A))
+    mc_fused = replace(mc_dense, fused_ce=True)
+    assert not mc_dense.fused_ce
+    opt = make_optimizer(0.01)
+    rl = RLStepConfig(sarm_gamma=0.5)
+    state, _ = make_train_state(jax.random.key(0), mc_dense, 0.01)
+
+    rs = np.random.RandomState(7)
+    batch = {
+        "state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+        "action": jnp.asarray(rs.randint(0, A, (B,)), jnp.int32),
+        "reward": jnp.asarray(rs.rand(B).astype(np.float32)),
+        "next_state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+        "true_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+        "true_next_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+        "is_end": jnp.asarray(rs.rand(B) < 0.3),
+        "valid": jnp.asarray(rs.rand(B) < 0.9),
+    }
+    s_d, m_d = make_train_step(mc_dense, opt, rl, donate=False)(state, batch)
+    s_f, m_f = make_train_step(mc_fused, opt, rl, donate=False)(state, batch)
+    np.testing.assert_allclose(float(m_f["sup_loss"]), float(m_d["sup_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_f["q_loss"]), float(m_d["q_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_f.params["backbone"]["embedding"]),
+        np.asarray(s_d.params["backbone"]["embedding"]),
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_f.params["q_heads"]["kernel"]),
+        np.asarray(s_d.params["q_heads"]["kernel"]),
+        atol=2e-6,
+    )
+
+
 def test_recommender_fused_matches_dense():
     from ikea_recommender_tpu.run.serve import Recommender
 
