@@ -179,6 +179,12 @@ class MetricsConfig:
     # never materializes (B, A) logits. None = auto (on for big catalogs and
     # whenever the head is model-sharded), True/False = force.
     fused_eval: Optional[bool] = None
+    # Per-action-type HR/NDCG (the old generation's capability, reference
+    # old/sqn_evaluation_old.py): name for each numeric type id carried in
+    # the buffers' action_type column, e.g. ["click", "buy"]. Emits
+    # HR@k[Click] / NDCG@k[Buy] / ...[Total] logging keys
+    # (old/logging_old.py format). None = off.
+    action_type_names: Optional[List[str]] = None
 
 
 @dataclass
@@ -240,6 +246,15 @@ def config_from_dict(raw: Dict[str, Any], exp_dir: str = ".") -> Config:
     # padding_position was also spelled padding_pos in some configs.
     if "padding_pos" in train_raw and "padding_position" not in train_raw:
         train_raw["padding_position"] = train_raw.pop("padding_pos")
+    # Reference YAMLs carry an ``actions:`` section for the per-action-type
+    # capability (old generation; e.g. SQN_GRU_paper_*_2_optimizers.yaml):
+    # actions.action_types_names {0: "click", 1: "buy"} -> ordered name list.
+    actions_raw = raw.get("actions", {}) or {}
+    names = actions_raw.get("action_types_names")
+    if names and "action_type_names" not in metrics_raw:
+        if isinstance(names, dict):
+            names = [names[k] for k in sorted(names, key=int)]
+        metrics_raw["action_type_names"] = list(names)
     par_raw = dict(raw.get("parallel", {}))
     # also accept parallel: {mesh: {data: N, model: M}} nesting
     if "mesh" in par_raw and isinstance(par_raw["mesh"], dict):

@@ -38,38 +38,60 @@ from ikea_recommender_tpu.data.tokenizer import Tokenizer
 INSPIRATION_ACTIONS = ("click_inspiration", "select_content")
 
 
+# The three functions below implement a FIXED ETL contract over the raw
+# GA-export JSON schema (reference ikea/data_utils/preprocessing.py:12-97):
+# the field names, the composite-session-id rule (one session per unique
+# (market, fullVisitorId, start_time_ms) triple, numbered in sorted-key
+# order) and the surviving 5-column set are all dictated by that external
+# format — byte-identical output is the requirement. The implementation is
+# this repo's own (plain-Python event flattening + a vectorized reward map
+# instead of pandas json_normalize/ngroup chains).
+
+_SESSION_META = ("market", "fullVisitorId", "start_time_ms")
+
+
 def prepare_sessions(info_list: List[dict], session_prefix: str, to_drop=("propensity",)):
     """Raw list of session dicts (each with an ``events`` list + session
-    metadata) -> exploded event DataFrame with composite ``sessionID``."""
+    metadata) -> exploded event DataFrame with composite ``sessionID``.
+
+    Each event dict becomes one row carrying its session's metadata; the
+    ``action`` field is surfaced as ``action_type`` and the session id is
+    ``f"{prefix}{n}"`` where n numbers the unique metadata triples in sorted
+    order (the contract's ngroup semantics).
+    """
     import pandas as pd
 
-    df = pd.json_normalize(
-        info_list,
-        record_path="events",
-        meta=["market", "fullVisitorId", "start_time_ms"],
-        meta_prefix="Session_",
-    )
-    df.rename(columns={"Session_start_time_ms": "sessionStartTime"}, inplace=True)
-    df.columns = [c.replace("Session_", "") for c in df.columns]
-    for col in to_drop:
-        if col in df.columns:
-            df = df.drop(columns=[col])
-    df = df.reset_index(drop=True)
-    df["sessionID"] = (
-        df.reset_index()
-        .groupby(["market", "fullVisitorId", "sessionStartTime"])
-        .ngroup()
-    )
-    df.sessionID = str(session_prefix) + df.sessionID.astype(str)
-    df.rename(columns={"action": "action_type"}, inplace=True)
+    rows: List[dict] = []
+    keys = []
+    for rec in info_list:
+        meta = {k: rec.get(k) for k in _SESSION_META}
+        key = tuple(meta[k] for k in _SESSION_META)
+        for event in rec.get("events", ()):
+            row = {k: v for k, v in event.items() if k not in to_drop}
+            if "action" in row:
+                row["action_type"] = row.pop("action")
+            row.update(meta)
+            rows.append(row)
+            keys.append(key)
+    df = pd.DataFrame(rows)
+    df.rename(columns={"start_time_ms": "sessionStartTime"}, inplace=True)
+    group_no = {k: i for i, k in enumerate(sorted(set(keys)))}
+    df["sessionID"] = [f"{session_prefix}{group_no[k]}" for k in keys]
     return df
 
 
 def add_reward_simple(session_df, action_to_rew_dict: Dict[str, float]):
-    """Map action_type -> reward; anything unmapped gets 0."""
-    session_df["reward"] = session_df.action_type.map(action_to_rew_dict)
-    session_df["reward"] = session_df.reward.fillna(0)
+    """Vectorized action_type -> reward map; anything unmapped gets 0
+    (the contract's reward rule)."""
+    session_df["reward"] = (
+        session_df["action_type"].map(action_to_rew_dict).fillna(0.0)
+    )
     return session_df
+
+
+# Buffer rows keep exactly these columns, in this order (the downstream
+# window/tokenize stages and the reference's stored buffers agree on it).
+_BUFFER_COLS = ("sessionID", "item_id", "action_type", "market", "reward")
 
 
 def prepare_for_replay_buffer(
@@ -83,11 +105,14 @@ def prepare_for_replay_buffer(
         "feed_location",
     ),
 ):
-    """Dedup, drop metadata columns and NaNs, keep the 5 buffer columns."""
+    """Exact-duplicate rows collapse to one; the listed metadata columns are
+    excluded from the NaN scan; any row still missing a value in ANY
+    remaining column drops (ragged event schemas drop whole rows — contract
+    behavior); only the 5 buffer columns survive."""
     df = df.drop_duplicates(keep="first")
     df = df.drop(columns=[c for c in to_drop if c in df.columns])
     df = df.dropna()
-    return df[["sessionID", "item_id", "action_type", "market", "reward"]]
+    return df[list(_BUFFER_COLS)]
 
 
 def prepare_full_data(
@@ -165,8 +190,16 @@ def _nstep_next_state_and_reward(df, future_steps, session_col="sessionID"):
         keep_own = shifted_state.isna()
         take = cond & ~keep_own
         df.loc[take, "next_state"] = shifted_state[take]
-        nxt_rew = g["reward"].shift(-1)
-        df["reward"] = df["reward"] + nxt_rew.fillna(0.0)
+        # True cumulated k-step return: own reward + the next k-1 rewards,
+        # truncated at the session boundary. At k=2 this reproduces the
+        # reference exactly (own + immediate next, reference
+        # ikea/data_utils/preprocessing.py:283-287); the reference raises
+        # NotImplementedError for k>2 — this is the generalization its
+        # docstring describes.
+        total = df["reward"].astype(float).copy()
+        for j in range(1, k):
+            total = total + g["reward"].shift(-j).fillna(0.0)
+        df["reward"] = total
     else:
         raise ValueError("future_steps must be 'all' or an int >= 2")
     return df

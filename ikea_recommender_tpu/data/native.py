@@ -117,6 +117,12 @@ def parse_jsonl_buffer(
     except (StopIteration, ValueError):
         return None
     present = [c for c in columns if c in first]
+    # Columns the C++ parser understands; if the file carries a requested
+    # column beyond that set (e.g. action_type), use the pandas path so the
+    # caller never gets a silently-partial result.
+    known = set(_ARRAY_COLS) | set(_INT_COLS) | {"r_act", "is_end"}
+    if any(c not in known for c in present):
+        return None
     state_len = len(first["state"]) if "state" in first else 0
 
     out: Dict[str, np.ndarray] = {}

@@ -40,6 +40,7 @@ class EvalBatch:
     action: np.ndarray  # (B,) int32
     true_len: np.ndarray  # (B,) int32
     valid: np.ndarray  # (B,) bool
+    action_type: Optional[np.ndarray] = None  # (B,) int32 when carried
 
 
 _TRAIN_COLS = (
@@ -50,6 +51,9 @@ _TRAIN_COLS = (
     "true_state_len",
     "true_next_state_len",
     "is_end",
+    # optional: per-row action-type id (the old generation's is_buy flavor,
+    # reference old/replay_buffer.py — enables metrics.action_type_names)
+    "action_type",
 )
 
 
@@ -103,6 +107,7 @@ class ReplayBuffer:
         true_len: Optional[np.ndarray] = None,
         true_next_len: Optional[np.ndarray] = None,
         is_end: Optional[np.ndarray] = None,
+        action_type: Optional[np.ndarray] = None,
     ):
         if path is not None:
             cols = _load_columns(path, _TRAIN_COLS)
@@ -113,6 +118,7 @@ class ReplayBuffer:
             true_len = cols["true_state_len"]
             true_next_len = cols["true_next_state_len"]
             is_end = cols["is_end"]
+            action_type = cols.get("action_type")
         self.state = np.asarray(state, dtype=np.int32)
         self.action = np.asarray(action, dtype=np.int32)
         self.reward = np.asarray(reward, dtype=np.float32)
@@ -120,6 +126,9 @@ class ReplayBuffer:
         self.true_len = np.asarray(true_len, dtype=np.int32)
         self.true_next_len = np.asarray(true_next_len, dtype=np.int32)
         self.is_end = np.asarray(is_end, dtype=bool)
+        self.action_type = (
+            None if action_type is None else np.asarray(action_type, np.int32)
+        )
 
     @classmethod
     def from_dataframe(cls, df) -> "ReplayBuffer":
@@ -134,8 +143,7 @@ class ReplayBuffer:
         )
 
     def save_npz(self, path: str) -> None:
-        np.savez_compressed(
-            path,
+        cols = dict(
             state=self.state,
             action=self.action,
             r_act=self.reward,
@@ -144,6 +152,9 @@ class ReplayBuffer:
             true_next_state_len=self.true_next_len,
             is_end=self.is_end,
         )
+        if self.action_type is not None:
+            cols["action_type"] = self.action_type
+        np.savez_compressed(path, **cols)
 
     def __len__(self) -> int:
         return len(self.action)
@@ -160,15 +171,22 @@ class EvalBuffer:
         state: Optional[np.ndarray] = None,
         action: Optional[np.ndarray] = None,
         true_len: Optional[np.ndarray] = None,
+        action_type: Optional[np.ndarray] = None,
     ):
         if path is not None:
-            cols = _load_columns(path, ("state", "action", "true_state_len"))
+            cols = _load_columns(
+                path, ("state", "action", "true_state_len", "action_type")
+            )
             state = cols["state"]
             action = cols["action"]
             true_len = cols["true_state_len"]
+            action_type = cols.get("action_type")
         self.state = np.asarray(state, dtype=np.int32)
         self.action = np.asarray(action, dtype=np.int32)
         self.true_len = np.asarray(true_len, dtype=np.int32)
+        self.action_type = (
+            None if action_type is None else np.asarray(action_type, np.int32)
+        )
 
     @classmethod
     def from_dataframe(cls, df) -> "EvalBuffer":
@@ -180,12 +198,20 @@ class EvalBuffer:
 
     @classmethod
     def from_replay_buffer(cls, buf: ReplayBuffer) -> "EvalBuffer":
-        return cls(state=buf.state, action=buf.action, true_len=buf.true_len)
+        return cls(
+            state=buf.state,
+            action=buf.action,
+            true_len=buf.true_len,
+            action_type=buf.action_type,
+        )
 
     def save_npz(self, path: str) -> None:
-        np.savez_compressed(
-            path, state=self.state, action=self.action, true_state_len=self.true_len
+        cols = dict(
+            state=self.state, action=self.action, true_state_len=self.true_len
         )
+        if self.action_type is not None:
+            cols["action_type"] = self.action_type
+        np.savez_compressed(path, **cols)
 
     def __len__(self) -> int:
         return len(self.action)
@@ -253,4 +279,9 @@ def eval_batches(
             action=_pad_take(buf.action, take, batch_size),
             true_len=_pad_take(buf.true_len, take, batch_size),
             valid=valid,
+            action_type=(
+                None
+                if getattr(buf, "action_type", None) is None
+                else _pad_take(buf.action_type, take, batch_size)
+            ),
         )

@@ -69,6 +69,10 @@ class EvalAccum:
     div_rew_sum: jax.Array  # () float
     nov_rew_sum: jax.Array  # () float
     covered: jax.Array  # (n_cov_k, A) bool
+    # per-action-type HR/NDCG (old-generation capability; empty when off)
+    type_hits: jax.Array  # (n_types, n_k) float
+    type_ndcg: jax.Array  # (n_types, n_k) float
+    type_count: jax.Array  # (n_types,) int32
 
 
 @dataclass
@@ -82,6 +86,11 @@ class EvalResult:
     div_rew: float
     nov_rew: float
     reps: np.ndarray  # (n_k,)
+    # type name -> {"hr": (n_k,), "ndcg": (n_k,), "count": int}; populated
+    # when the protocol runs with type_names (reference
+    # old/sqn_evaluation_old.py per-action-type dicts). "total" excluded —
+    # it equals the standard hr/ndcg.
+    by_type: Optional[Dict[str, Dict[str, Any]]] = None
 
 
 class EvalProtocol:
@@ -103,8 +112,13 @@ class EvalProtocol:
         head_idx: int = 0,
         mesh=None,
         fused: Optional[bool] = None,
+        type_names: Optional[Sequence[str]] = None,
     ):
         self.model_cfg = model_cfg
+        # Per-action-type HR/NDCG (reference old/sqn_evaluation_old.py):
+        # type id i in the buffer's action_type column maps to type_names[i].
+        self.type_names = tuple(type_names or ())
+        self.num_types = len(self.type_names)
         # Optional (data, model) mesh: scanned eval batches are pinned to
         # the data axis and the accumulator to replicated; parameter
         # shardings ride in on the (committed) params argument.
@@ -173,6 +187,9 @@ class EvalProtocol:
             div_rew_sum=jnp.zeros(()),
             nov_rew_sum=jnp.zeros(()),
             covered=init_coverage(self.num_actions, len(self.topk_cov)),
+            type_hits=jnp.zeros((self.num_types, n_k)),
+            type_ndcg=jnp.zeros((self.num_types, n_k)),
+            type_count=jnp.zeros((self.num_types,), jnp.int32),
         )
 
     # -- per-batch update (jitted) ----------------------------------------
@@ -185,6 +202,7 @@ class EvalProtocol:
         true_len: jax.Array,
         valid: jax.Array,
         aux: Any,
+        action_type: Optional[jax.Array] = None,
     ) -> EvalAccum:
         div_embedding = aux["div_embedding"]
         unpopular_mask = aux["unpopular_mask"]
@@ -241,6 +259,20 @@ class EvalProtocol:
             accum.covered, idx, self.topk_cov, valid=valid
         )
 
+        type_hits, type_ndcg, type_count = (
+            accum.type_hits, accum.type_ndcg, accum.type_count
+        )
+        if self.num_types > 0 and action_type is not None:
+            from ikea_recommender_tpu.ops.ranking import hr_ndcg_by_type_from_topk
+
+            th, tn, tc = hr_ndcg_by_type_from_topk(
+                idx, action, action_type, self.num_types,
+                self.topk_hr_ndcg, valid=valid,
+            )
+            type_hits = type_hits + th
+            type_ndcg = type_ndcg + tn
+            type_count = type_count + tc.astype(jnp.int32)
+
         return EvalAccum(
             loss_sum=accum.loss_sum + batch_loss,
             n_batches=accum.n_batches + 1,
@@ -251,10 +283,17 @@ class EvalProtocol:
             div_rew_sum=accum.div_rew_sum + jnp.sum(div * w),
             nov_rew_sum=accum.nov_rew_sum + jnp.sum(nov * w),
             covered=covered,
+            type_hits=type_hits,
+            type_ndcg=type_ndcg,
+            type_count=type_count,
         )
 
-    def update(self, params, accum, state, action, true_len, valid) -> EvalAccum:
-        return self._update(params, accum, state, action, true_len, valid, self._aux)
+    def update(
+        self, params, accum, state, action, true_len, valid, action_type=None
+    ) -> EvalAccum:
+        return self._update(
+            params, accum, state, action, true_len, valid, self._aux, action_type
+        )
 
     # -- normalization -----------------------------------------------------
     def finalize(self, accum: EvalAccum) -> EvalResult:
@@ -267,6 +306,19 @@ class EvalProtocol:
             k: (float(unpop_cov[i]), float(all_cov[i]))
             for i, k in enumerate(self.topk_cov)
         }
+        by_type = None
+        if self.num_types > 0:
+            th = np.asarray(accum.type_hits)
+            tn = np.asarray(accum.type_ndcg)
+            tc = np.asarray(accum.type_count)
+            by_type = {
+                name: {
+                    "hr": th[i] / max(int(tc[i]), 1),
+                    "ndcg": tn[i] / max(int(tc[i]), 1),
+                    "count": int(tc[i]),
+                }
+                for i, name in enumerate(self.type_names)
+            }
         return EvalResult(
             loss=float(accum.loss_sum) / n_b,
             hr=np.asarray(accum.hits) / n,
@@ -275,6 +327,7 @@ class EvalProtocol:
             div_rew=float(accum.div_rew_sum) / n,
             nov_rew=float(accum.nov_rew_sum) / n,
             reps=np.asarray(accum.reps) / n,
+            by_type=by_type,
         )
 
     # -- whole-buffer evaluation ------------------------------------------
@@ -290,17 +343,21 @@ class EvalProtocol:
                 jnp.asarray(b.action),
                 jnp.asarray(b.true_len),
                 jnp.asarray(b.valid),
+                None if b.action_type is None else jnp.asarray(b.action_type),
             )
         return self.finalize(accum)
 
     # -- device-resident scanned evaluation (one dispatch for the pass) ----
     @staticmethod
     def device_eval_data(eval_buf) -> Dict[str, jax.Array]:
-        return {
+        data = {
             "state": jnp.asarray(eval_buf.state),
             "action": jnp.asarray(eval_buf.action),
             "true_len": jnp.asarray(eval_buf.true_len),
         }
+        if getattr(eval_buf, "action_type", None) is not None:
+            data["action_type"] = jnp.asarray(eval_buf.action_type)
+        return data
 
     def _constrain(self, tree, spec):
         if self.mesh is None:
@@ -317,6 +374,8 @@ class EvalProtocol:
                 "true_len": jnp.take(data["true_len"], idx, axis=0),
                 "valid": valid,
             }
+            if "action_type" in data:
+                batch["action_type"] = jnp.take(data["action_type"], idx, axis=0)
             batch = self._constrain(batch, P(DATA_AXIS))
             acc = self._batch_update(
                 params,
@@ -326,6 +385,7 @@ class EvalProtocol:
                 batch["true_len"],
                 batch["valid"],
                 aux,
+                batch.get("action_type"),
             )
             return acc, None
 

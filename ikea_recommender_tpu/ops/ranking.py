@@ -72,23 +72,22 @@ def hr_ndcg_at_k(
     return hr_ndcg_from_topk(idx, true_idx, top_k, valid)
 
 
-def hr_ndcg_by_action_type(
-    predictions: jax.Array,
+def hr_ndcg_by_type_from_topk(
+    topk_idx: jax.Array,
     true_idx: jax.Array,
     action_types: jax.Array,  # (B,) int in [0, num_types)
     num_types: int,
     top_k: Sequence[int],
     valid: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Per-action-type HR/NDCG sums — the old-generation eval capability
-    (reference ``old/sqn_evaluation_old.py:13-291``: separate HR/NDCG dicts
-    for click vs buy events) as one fused segment-sum.
+    """Per-action-type HR/NDCG sums from precomputed top-k ids — the
+    old-generation eval capability (reference
+    ``old/sqn_evaluation_old.py:13-291``: separate HR/NDCG dicts for click
+    vs buy events) as one fused segment-sum.
 
     Returns (hits (num_types, n_k), ndcg (num_types, n_k), counts (num_types,)).
     """
-    max_k = max(top_k)
-    idx = topk_indices(predictions, max_k)
-    hit, rank = hit_ranks(idx, true_idx)
+    hit, rank = hit_ranks(topk_idx, true_idx)
     if valid is None:
         valid = jnp.ones_like(hit)
     onehot = jax.nn.one_hot(action_types, num_types, dtype=jnp.float32)  # (B, T)
@@ -103,3 +102,17 @@ def hr_ndcg_by_action_type(
         ndcgs.append(onehot.T @ ndcg_k)
     counts = jnp.sum(onehot, axis=0)
     return jnp.stack(hits, axis=1), jnp.stack(ndcgs, axis=1), counts
+
+
+def hr_ndcg_by_action_type(
+    predictions: jax.Array,
+    true_idx: jax.Array,
+    action_types: jax.Array,
+    num_types: int,
+    top_k: Sequence[int],
+    valid: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    idx = topk_indices(predictions, max(top_k))
+    return hr_ndcg_by_type_from_topk(
+        idx, true_idx, action_types, num_types, top_k, valid
+    )

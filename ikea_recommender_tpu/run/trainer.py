@@ -61,6 +61,7 @@ from ikea_recommender_tpu.train.state import (
 )
 from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
 from ikea_recommender_tpu.utils.logging_dicts import (
+    get_logging_dict_by_type,
     get_logging_dict_test,
     get_logging_dict_train,
 )
@@ -103,7 +104,7 @@ def _eval_params_list(state, family):
 def _device_train_data(buf: ReplayBuffer) -> Dict[str, jnp.ndarray]:
     """Ship the whole replay buffer to device HBM once (the reference
     re-ships every batch from host). RetailRocket scale is ~120MB."""
-    return {
+    data = {
         "state": jnp.asarray(buf.state),
         "action": jnp.asarray(buf.action),
         "reward": jnp.asarray(buf.reward),
@@ -112,6 +113,9 @@ def _device_train_data(buf: ReplayBuffer) -> Dict[str, jnp.ndarray]:
         "true_next_len": jnp.asarray(buf.true_next_len),
         "is_end": jnp.asarray(buf.is_end),
     }
+    if getattr(buf, "action_type", None) is not None:
+        data["action_type"] = jnp.asarray(buf.action_type)
+    return data
 
 
 def _window_index_matrices(perm: np.ndarray, batch_size: int):
@@ -177,6 +181,7 @@ def _make_window_runner(step, protocol, family, mesh=None):
                 batch["true_len"],
                 batch["valid"],
                 proto_aux,
+                batch.get("action_type"),
             )
             new_losses = {
                 "sup": losses["sup"] + metrics["sup_loss"],
@@ -368,6 +373,7 @@ def train(
         head_idx=t_cfg.head_idx,
         mesh=mesh,
         fused=m_cfg.fused_eval,
+        type_names=m_cfg.action_type_names,
     )
 
     tracker = BestModelTracker(
@@ -508,6 +514,17 @@ def train(
                         prefix="Sec_",
                     )
                 )
+            if m_cfg.action_type_names:
+                log_dict.update(
+                    get_logging_dict_by_type(
+                        train_res, m_cfg.topk_hr_ndcg, name="Train"
+                    )
+                )
+                log_dict.update(
+                    get_logging_dict_by_type(
+                        val_results[0], m_cfg.topk_hr_ndcg, name="Val"
+                    )
+                )
 
             # Best-model bookkeeping: double-Q saves the winning net.
             metric_name = tracker.metric_name
@@ -548,6 +565,14 @@ def train(
         topk_cov=m_cfg.topk_cov,
         real_test=real_test,
     )
+    if m_cfg.action_type_names:
+        test_metrics.update(
+            get_logging_dict_by_type(
+                test_res,
+                m_cfg.topk_hr_ndcg,
+                name="Test" if real_test else "Best_Val",
+            )
+        )
     if log_fn is not None:
         log_fn(test_metrics, log_counter)
     with open(os.path.join(cfg.exp_dir, "test_metrics.json"), "w") as fh:

@@ -54,6 +54,28 @@ def get_logging_dict_train(
     return d
 
 
+def get_logging_dict_by_type(
+    res: EvalResult,
+    topk_hr_ndcg: Sequence[int],
+    name: str,
+    prefix: str = "",
+) -> Dict[str, float]:
+    """Per-action-type HR/NDCG keys in the old generation's format
+    (``old/logging_old.py:1-19``): ``{name}_HR@{k}[{Type}]`` for every type
+    plus ``[Total]`` (= the standard all-samples HR/NDCG)."""
+    d: Dict[str, float] = {}
+    if not res.by_type:
+        return d
+    for i, k in enumerate(topk_hr_ndcg):
+        for t_name, t_res in res.by_type.items():
+            cap = t_name.capitalize()
+            d[f"{prefix}{name}_HR@{k}[{cap}]"] = float(t_res["hr"][i])
+            d[f"{prefix}{name}_NDCG@{k}[{cap}]"] = float(t_res["ndcg"][i])
+        d[f"{prefix}{name}_HR@{k}[Total]"] = float(res.hr[i])
+        d[f"{prefix}{name}_NDCG@{k}[Total]"] = float(res.ndcg[i])
+    return d
+
+
 def get_logging_dict_test(
     test_res: EvalResult,
     topk_hr_ndcg: Sequence[int],

@@ -127,6 +127,31 @@ def test_nstep_two_rewards():
     np.testing.assert_allclose(buf["r_act"].to_numpy(), [1.0, 1.0, 1.0])
 
 
+def test_nstep_three_cumulated_rewards():
+    """k=3: reward = own + next TWO events' rewards, truncated at the
+    session end (the true k-step return; the reference raises
+    NotImplementedError for k>2)."""
+    inp, out, market = _toks()
+    buf = preprocess_train_data(
+        _frame(),
+        padding_id=inp.pad_idx,
+        state_len=3,
+        tokenizer_market=market,
+        tokenizer_input=inp,
+        tokenizer_output=out,
+        future_steps_next_state=3,
+    )
+    # events A: view p1, i1(r=1), view p2(0), cart p2(5), i2(r=1), view p3(0)
+    # A/i1: 1 + 0 + 5 = 6; A/i2: 1 + 0 (+ session end) = 1
+    # events B: i1(r=1), view p1(0) -> 1 + 0 = 1
+    np.testing.assert_allclose(buf["r_act"].to_numpy(), [6.0, 1.0, 1.0])
+    # A/i1 next_state jumps 3 events ahead: last3 of (p1,i1,p2,p2) = [i1,p2,p2]
+    np.testing.assert_array_equal(
+        buf["next_state"].iloc[0],
+        [inp.stoi("i1"), inp.stoi("p2"), inp.stoi("p2")],
+    )
+
+
 def test_prepare_sessions_composite_ids():
     records = [
         {

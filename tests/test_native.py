@@ -37,8 +37,8 @@ def test_native_matches_pandas():
     df = _make_df()
     raw = df.to_json(orient="records", lines=True).encode()
     got = native.parse_jsonl_buffer(raw, _TRAIN_COLS)
-    assert set(got) == set(_TRAIN_COLS)
-    for c in _TRAIN_COLS:
+    assert set(got) == set(df.columns)  # _TRAIN_COLS minus optional cols
+    for c in df.columns:
         want = (
             np.asarray(df[c].tolist())
             if c in ("state", "next_state")
