@@ -118,6 +118,11 @@ class TrainConfig:
     # dominant optimizer streaming traffic — docs/performance.md roofline).
     # None = fp32 (reference parity). Math stays fp32 either way.
     optimizer_mv_dtype: Optional[str] = None
+    # Double-Q (sqn/smorl) optimizer count: 2 = one Adam per net (the live
+    # reference, sqn_gru.py:172-179); 1 = one shared Adam over both nets —
+    # the reference's historical ablation axis (experiments named
+    # ``*_2_optimizers``). See train/steps.py:_double_q_apply.
+    double_q_optimizers: int = 2
     # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
     # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of
     # true_next_len (sqn_gru.py:231, smorl_gru.py:291).

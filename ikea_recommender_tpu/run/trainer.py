@@ -315,7 +315,12 @@ def train(
         compat_boot_len_bug=t_cfg.compat_boot_len_bug,
         compat_div_len_bug=t_cfg.compat_div_len_bug,
         sarm_gamma=t_cfg.sarm_gamma,
+        single_optimizer=(t_cfg.double_q_optimizers == 1),
     )
+    if t_cfg.double_q_optimizers not in (1, 2):
+        raise ValueError(
+            f"double_q_optimizers must be 1 or 2, got {t_cfg.double_q_optimizers}"
+        )
     key = jax.random.key(cfg.seed)
     lazy = t_cfg.optimizer == "lazy_adam"
     if t_cfg.optimizer not in ("adam", "lazy_adam"):
@@ -326,7 +331,11 @@ def train(
         )
     if family in DOUBLE_Q_FAMILIES:
         state, _ = make_double_q_state(
-            key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
+            key,
+            model_cfg,
+            t_cfg.learning_rate,
+            t_cfg.optimizer_mv_dtype,
+            single_optimizer=(t_cfg.double_q_optimizers == 1),
         )
     elif lazy:
         from ikea_recommender_tpu.train.state import make_lazy_train_state

@@ -125,19 +125,26 @@ def make_train_state(
 
 def make_double_q_state(
     key: jax.Array, model_cfg: ModelConfig, learning_rate: float,
-    mv_dtype: str | None = None,
+    mv_dtype: str | None = None, single_optimizer: bool = False,
 ) -> Tuple[DoubleQState, optax.GradientTransformation]:
+    """``single_optimizer=True`` gives ONE Adam state over the stacked
+    (2, ...) params instead of one per net — the other arm of the
+    reference's 1-vs-2-optimizer ablation (see steps._double_q_apply)."""
     k1, k2, k_state = jax.random.split(key, 3)
     p1 = init_model(k1, model_cfg)
     p2 = init_model(k2, model_cfg)  # independent init, like the reference's
     # sequential torch draws for DQN_1 / DQN_2
     opt = make_optimizer(learning_rate, mv_dtype)
-    o1, o2 = opt.init(p1), opt.init(p2)
     stack = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+    params = stack(p1, p2)
+    if single_optimizer:
+        opt_state = opt.init(params)
+    else:
+        opt_state = stack(opt.init(p1), opt.init(p2))
     return (
         DoubleQState(
-            params=stack(p1, p2),
-            opt_state=stack(o1, o2),
+            params=params,
+            opt_state=opt_state,
             step=jnp.zeros((), jnp.int32),
             rng=k_state,
         ),

@@ -82,6 +82,11 @@ class RLStepConfig:
     compat_boot_len_bug: bool = False
     compat_div_len_bug: bool = False
     sarm_gamma: float = 0.99  # hardcoded in the reference (sarm.py:112)
+    # One shared Adam over BOTH double-Q nets instead of one per net —
+    # the reference's 1-vs-2-optimizer ablation axis (experiments named
+    # ``*_2_optimizers`` under experiments/paper/SQN_RetailRocket_NoCV_final/;
+    # the live trainer is the 2-optimizer shape, sqn_gru.py:172-179).
+    single_optimizer: bool = False
 
 
 def _masked_mean(x: jax.Array, valid: jax.Array) -> jax.Array:
@@ -231,6 +236,44 @@ def ce_train_step_lazy(
 # ---------------------------------------------------------------------------
 
 
+def _double_q_apply(
+    state: DoubleQState,
+    idx: jax.Array,
+    grads,
+    params_main,
+    opt: optax.GradientTransformation,
+    rl: RLStepConfig,
+) -> DoubleQState:
+    """Optimizer application for a double-Q step, in either optimizer shape.
+
+    - two optimizers (default; the live reference ``sqn_gru.py:172-179``):
+      each net owns an independent Adam state; only the selected net's
+      params and moments move this step.
+    - one optimizer (``TrainConfig.double_q_optimizers = 1``): a single Adam
+      over the stacked (2, ...) params — torch's one-Adam-over-chained-params.
+      The non-selected net receives zero grads but still moves under its
+      accumulated momentum, and the shared bias-correction count advances
+      every step. This is the other arm of the reference's 1-vs-2-optimizer
+      ablation (``experiments/paper/SQN_RetailRocket_NoCV_final/*_2_optimizers``).
+    """
+    if rl.single_optimizer:
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        stacked_grads = write_net(zeros, idx, grads)
+        updates, new_opt = opt.update(stacked_grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1
+        )
+    opt_main = select_net(state.opt_state, idx)
+    updates, new_opt_main = opt.update(grads, opt_main, params_main)
+    new_params_main = optax.apply_updates(params_main, updates)
+    return state.replace(
+        params=write_net(state.params, idx, new_params_main),
+        opt_state=write_net(state.opt_state, idx, new_opt_main),
+        step=state.step + 1,
+    )
+
+
 def sqn_train_step(
     state: DoubleQState,
     batch: Dict[str, jax.Array],
@@ -306,15 +349,7 @@ def sqn_train_step(
         params_main
     )
     grads = _apply_grad_mask(grads, model_cfg)
-    opt_main = select_net(state.opt_state, idx)
-    updates, new_opt_main = opt.update(grads, opt_main, params_main)
-    new_params_main = optax.apply_updates(params_main, updates)
-
-    new_state = state.replace(
-        params=write_net(state.params, idx, new_params_main),
-        opt_state=write_net(state.opt_state, idx, new_opt_main),
-        step=state.step + 1,
-    )
+    new_state = _double_q_apply(state, idx, grads, params_main, opt, rl)
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 
@@ -430,15 +465,7 @@ def smorl_train_step(
         params_main
     )
     grads = _apply_grad_mask(grads, model_cfg)
-    opt_main = select_net(state.opt_state, idx)
-    updates, new_opt_main = opt.update(grads, opt_main, params_main)
-    new_params_main = optax.apply_updates(params_main, updates)
-
-    new_state = state.replace(
-        params=write_net(state.params, idx, new_params_main),
-        opt_state=write_net(state.opt_state, idx, new_opt_main),
-        step=state.step + 1,
-    )
+    new_state = _double_q_apply(state, idx, grads, params_main, opt, rl)
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 

@@ -94,6 +94,15 @@ def test_double_q_families_run_and_learn(tmp_path, model):
     assert meta["model_idx"] in (1, 2)
 
 
+def test_sqn_single_optimizer_runs_and_learns(tmp_path):
+    """double_q_optimizers=1 (shared-Adam ablation arm) trains end-to-end
+    through the trainer/config surface (experiments/Ablations/SQN-1optimizer)."""
+    cfg = _cfg(tmp_path, model="sqn", epochs=2, double_q_optimizers=1)
+    train_buf, val_buf = _buffers()
+    out = train(cfg, train_buf=train_buf, val_buf=val_buf)
+    assert out.best_metric > 0.2
+
+
 def test_sarm_and_bidir_run(tmp_path):
     for model in ("sarm", "bidir_gru4rec"):
         cfg = _cfg(tmp_path, model=model, epochs=1)

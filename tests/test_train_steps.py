@@ -100,6 +100,47 @@ def test_double_q_updates_only_selected_net():
     assert sum(changed) == 1  # exactly one of the two nets moved
 
 
+def test_double_q_single_optimizer_shares_adam_across_nets():
+    """double_q_optimizers=1: one Adam over the stacked nets. The
+    non-selected net sees zero grads — unchanged while its momentum is
+    still zero, but once it has trained at least once it moves on EVERY
+    subsequent step (torch one-Adam-over-chained-params semantics), and
+    the shared bias-correction count advances every step."""
+    train, data = _cfgs("sqn", double_q_optimizers=1)
+    mc = model_config_from_train(train, data)
+    opt = make_optimizer(train.learning_rate)
+    rl = RLStepConfig(
+        gamma=train.gamma, alpha=train.alpha, single_optimizer=True
+    )
+    step = make_train_step(mc, opt, rl, donate=False)
+    state, _ = make_double_q_state(
+        jax.random.key(5), mc, 0.05, single_optimizer=True
+    )
+    batch = _toy_batch()
+    n_steps = 8
+    emb = [np.asarray(state.params["backbone"]["embedding"])]
+    for _ in range(n_steps):
+        state, m = step(state, batch)
+        emb.append(np.asarray(state.params["backbone"]["embedding"]))
+    moved = np.array(
+        [
+            [not np.allclose(emb[t][i], emb[t + 1][i]) for i in (0, 1)]
+            for t in range(n_steps)
+        ]
+    )
+    # Shared count: scalar (not stacked), incremented every step.
+    adam = state.opt_state[0]
+    assert adam.count.shape == ()
+    assert int(adam.count) == n_steps
+    # Both nets trained at least once over 8 coin flips.
+    first_move = [int(np.argmax(moved[:, i])) for i in (0, 1)]
+    assert moved[:, 0].any() and moved[:, 1].any()
+    # After a net first moves, shared-Adam momentum moves it every step.
+    for i in (0, 1):
+        assert moved[first_move[i]:, i].all()
+    assert np.isfinite(float(m["sup_loss"])) and np.isfinite(float(m["q_loss"]))
+
+
 def test_double_q_alternation_is_random_but_covers_both():
     mc, opt, step = _make("sqn")
     state, _ = make_double_q_state(jax.random.key(4), mc, 0.05)
