@@ -42,11 +42,12 @@ import numpy as np
 
 def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
           emb=64, hidden=64, compute_dtype="float32", scan_impl="pallas",
-          fused_ce=True, mv_dtype=None):
+          fused_ce=True, mv_dtype=None, lazy=False):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.models.families import model_config_from_train
     from ikea_recommender_tpu.train.state import (
         make_double_q_state,
+        make_lazy_train_state,
         make_optimizer,
         make_train_state,
     )
@@ -79,9 +80,16 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
             ),
             "unpopular_mask": jnp.asarray(np.arange(catalog) % 10 == 0),
         }
-    step = make_train_step(mc, opt, rl, **aux, donate=True)
+    step = make_train_step(
+        mc, opt, rl, **aux, donate=True,
+        lazy_embedding_lr=0.01 if lazy else None,
+    )
     if model in ("sqn", "smorl"):
         state, _ = make_double_q_state(jax.random.key(0), mc, 0.01, mv_dtype)
+    elif lazy:
+        state, _ = make_lazy_train_state(
+            jax.random.key(0), mc, 0.01, mv_dtype
+        )
     else:
         state, _ = make_train_state(jax.random.key(0), mc, 0.01, mv_dtype)
     batch_d = {

@@ -121,7 +121,7 @@ class TrainConfig:
     # Double-Q (sqn/smorl) optimizer count: 2 = one Adam per net (the live
     # reference, sqn_gru.py:172-179); 1 = one shared Adam over both nets —
     # the reference's historical ablation axis (experiments named
-    # ``*_2_optimizers``). See train/steps.py:_double_q_apply.
+    # ``*_2_optimizers``). See train/steps.py:_double_q_run.
     double_q_optimizers: int = 2
     # --- Quirk-compatibility flags (SURVEY.md §2, "correct by default") ---
     # Quirk 2: reference bootstraps Q_boot(s', ·) with true_len instead of

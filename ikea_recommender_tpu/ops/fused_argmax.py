@@ -94,10 +94,9 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
     A = w.shape[1]
     blk = _block(A, B)
     grid = pl.cdiv(A, blk)
-    Ap = grid * blk
-    if Ap != A:
-        w = jnp.pad(w, ((0, 0), (0, Ap - A)))
-        b = jnp.pad(b, (0, Ap - A))
+    # No w/b padding to a block multiple: the edge tile's unspecified tail
+    # values are rejected by the in-kernel ``col < valid_dim`` mask before
+    # any reduce (same rationale as ops/fused_ce.py:_fwd).
     kern = functools.partial(
         _argmax_kernel, block=blk, prec=_PRECISIONS[precision]
     )
@@ -121,7 +120,7 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
         jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
         h.astype(jnp.float32),
         w,
-        b.reshape(1, Ap),
+        b.reshape(1, A),
     )
     return jax.lax.stop_gradient(out[:, 0])
 
@@ -178,10 +177,7 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
     _, K, A = w.shape
     blk = _block(A, B * K)
     grid = pl.cdiv(A, blk)
-    Ap = grid * blk
-    if Ap != A:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, Ap - A)))
-        b = jnp.pad(b, ((0, 0), (0, Ap - A)))
+    # No w/b padding — see fused_linear_argmax.
     kern = functools.partial(
         _wargmax_kernel, block=blk, K=K, prec=_PRECISIONS[precision]
     )
@@ -206,7 +202,7 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
         jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
         h.astype(jnp.float32),
         w,
-        b.reshape(1, K, Ap),
+        b.reshape(1, K, A),
         jnp.asarray(q_weights, jnp.float32).reshape(1, K),
     )
     return jax.lax.stop_gradient(out[:, 0])

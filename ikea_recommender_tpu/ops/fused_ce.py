@@ -115,11 +115,11 @@ def _fwd(h, w, b, labels, valid_dim, precision: str = "highest"):
     A = w.shape[1]
     blk = _block(A, B)
     grid = pl.cdiv(A, blk)
-    # Pad A so every block is full (the index mask handles the tail).
-    Ap = grid * blk
-    if Ap != A:
-        w = jnp.pad(w, ((0, 0), (0, Ap - A)))
-        b = jnp.pad(b, (0, Ap - A))
+    # No host-side padding of w/b to a block multiple: Pallas pads the edge
+    # tile itself, and every use of the tail columns is masked by the
+    # ``col < valid_dim`` guards in the kernels. The explicit jnp.pad this
+    # replaces cost ~55MB/step of pure copy traffic at A=70852
+    # (pad write + padded-dw slice; docs/performance.md).
     lbl2 = labels.astype(jnp.int32).reshape(B, 1)
     valid2 = jnp.asarray(valid_dim, jnp.int32).reshape(1, 1)
     kern = functools.partial(_fwd_kernel, block=blk, prec=_PRECISIONS[precision])
@@ -147,7 +147,7 @@ def _fwd(h, w, b, labels, valid_dim, precision: str = "highest"):
             pltpu.VMEM((B, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(valid2, h.astype(jnp.float32), w, b.reshape(1, Ap), lbl2)
+    )(valid2, h.astype(jnp.float32), w, b.reshape(1, A), lbl2)
     return lse[:, 0], lbl_logit[:, 0]
 
 
@@ -185,8 +185,13 @@ def _bwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
         precision=prec,
     )  # (F, BLK)
     db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)
+    # Zero w's tail columns before the contraction over BLK: with an
+    # unpadded edge tile their contents are unspecified, and 0 * NaN from
+    # the (zeroed) dlogits tail would poison dh.
+    colw = j * block + jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
+    w_safe = jnp.where(colw < valid_ref[0, 0], w_ref[:], 0.0)
     dh_acc[:] += jax.lax.dot_general(
-        dlogits, w_ref[:],
+        dlogits, w_safe,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
@@ -202,11 +207,8 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
     A = w.shape[1]
     blk = _block(A, B)
     grid = pl.cdiv(A, blk)
-    Ap = grid * blk
-    pad = Ap - A
-    if pad:
-        w = jnp.pad(w, ((0, 0), (0, pad)))
-        b = jnp.pad(b, (0, pad))
+    # No w/b padding — see _fwd. Edge-tile dw/db stores are masked by
+    # Mosaic; the dh contraction masks the tail columns of w in-kernel.
     kern = functools.partial(_bwd_kernel, block=blk, prec=_PRECISIONS[precision])
     dw, db, dh = pl.pallas_call(
         kern,
@@ -226,8 +228,8 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((F, Ap), jnp.float32),
-            jax.ShapeDtypeStruct((1, Ap), jnp.float32),
+            jax.ShapeDtypeStruct((F, A), jnp.float32),
+            jax.ShapeDtypeStruct((1, A), jnp.float32),
             jax.ShapeDtypeStruct((B, F), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((B, F), jnp.float32)],
@@ -236,14 +238,11 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
         jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
         h.astype(jnp.float32),
         w,
-        b.reshape(1, Ap),
+        b.reshape(1, A),
         labels.astype(jnp.int32).reshape(B, 1),
         lse.reshape(B, 1),
         ct.astype(jnp.float32).reshape(B, 1),
     )
-    if pad:
-        dw = dw[:, :A]
-        db = db[:, :A]
     return dh, dw, db[0]
 
 

@@ -6,8 +6,9 @@ Two shapes:
 - :class:`DoubleQState` — the reference's double-Q pairs (SQN / SMORL:
   ``sqn_gru.py:141-181``) as STACKED pytrees: every param / optimizer leaf
   carries a leading axis of size 2. Per step a jax.random coin picks the
-  main net; select = dynamic-index, write-back = dynamic-update-slice — one
-  jitted step, no retracing, no host round-trip (fixes SURVEY.md quirk 7).
+  main net via ``lax.cond`` over two static-index branches (see
+  steps._double_q_run) — one jitted step, no retracing, no host round-trip
+  (fixes SURVEY.md quirk 7), and no dynamic-index copies of the nets.
 
 The stacked layout is also what a TPU wants: both nets' optimizer updates
 are identical programs, and the (2, ...) leaves vectorize trivially.
@@ -129,7 +130,7 @@ def make_double_q_state(
 ) -> Tuple[DoubleQState, optax.GradientTransformation]:
     """``single_optimizer=True`` gives ONE Adam state over the stacked
     (2, ...) params instead of one per net — the other arm of the
-    reference's 1-vs-2-optimizer ablation (see steps._double_q_apply)."""
+    reference's 1-vs-2-optimizer ablation (see steps._double_q_run)."""
     k1, k2, k_state = jax.random.split(key, 3)
     p1 = init_model(k1, model_cfg)
     p2 = init_model(k2, model_cfg)  # independent init, like the reference's
@@ -186,16 +187,19 @@ def merge_embedding(rest: Any, emb: jax.Array) -> Any:
 
 
 def make_lazy_train_state(
-    key: jax.Array, model_cfg: ModelConfig, learning_rate: float
+    key: jax.Array, model_cfg: ModelConfig, learning_rate: float,
+    mv_dtype: str | None = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """TrainState whose opt_state is {'rest': adam-on-rest, 'emb': EmbAdamState}
-    — no dense m/v traffic for the table (see train/lazy_adam.py)."""
+    — no dense m/v traffic for the table (see train/lazy_adam.py).
+    ``mv_dtype`` applies to the DENSE ("rest") Adam moments only; the lazy
+    embedding rows keep the param dtype (their traffic is already sparse)."""
     from ikea_recommender_tpu.train.lazy_adam import init_emb_adam
 
     k_init, k_state = jax.random.split(key)
     params = init_model(k_init, model_cfg)
     emb, rest = split_embedding(params)
-    opt = make_optimizer(learning_rate)
+    opt = make_optimizer(learning_rate, mv_dtype)
     return (
         TrainState(
             params=params,

@@ -62,9 +62,7 @@ from ikea_recommender_tpu.train.state import (
     DoubleQState,
     TrainState,
     merge_embedding,
-    select_net,
     split_embedding,
-    write_net,
 )
 
 
@@ -236,41 +234,111 @@ def ce_train_step_lazy(
 # ---------------------------------------------------------------------------
 
 
-def _double_q_apply(
+def _double_q_run(
     state: DoubleQState,
     idx: jax.Array,
-    grads,
-    params_main,
+    loss_builder: Callable,
+    model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
     rl: RLStepConfig,
-) -> DoubleQState:
-    """Optimizer application for a double-Q step, in either optimizer shape.
+    full_cond: bool = True,
+) -> Tuple[DoubleQState, Tuple[jax.Array, jax.Array]]:
+    """Run one double-Q step with STATIC net indices inside ``lax.cond``.
+
+    The round-1 shape — ``x[idx]`` gathers with a traced idx — physically
+    copied the selected net's params and Adam moments out and back every
+    step (~2x the whole Adam stream in HBM traffic at the RetailRocket
+    point). Static slices inside a cond branch fuse into their consumers
+    and the write-back aliases the donated stacked buffer.
+
+    Two shapes, chosen per family by A/B on the real chip (BENCH_DETAIL.md):
+
+    - ``full_cond=True``: the whole step (forward, backward, optimizer) runs
+      inside ``lax.cond(idx == 0, step<0>, step<1>)``. Fastest for SQN
+      (-14% step time): every select/write copy disappears.
+    - ``full_cond=False``: forward/backward run once on dynamically selected
+      params (one traced-idx gather per net); only the optimizer apply is
+      conditioned with static indices. Fastest for SMORL, whose branch-
+      duplicated forward (dense sup logits + online-reward top-k) defeats
+      XLA's cross-step prefetching when cloned into both cond branches
+      (measured +14% for full_cond there).
+
+    Optimizer shapes (``TrainConfig.double_q_optimizers``):
 
     - two optimizers (default; the live reference ``sqn_gru.py:172-179``):
       each net owns an independent Adam state; only the selected net's
       params and moments move this step.
-    - one optimizer (``TrainConfig.double_q_optimizers = 1``): a single Adam
-      over the stacked (2, ...) params — torch's one-Adam-over-chained-params.
-      The non-selected net receives zero grads but still moves under its
-      accumulated momentum, and the shared bias-correction count advances
-      every step. This is the other arm of the reference's 1-vs-2-optimizer
-      ablation (``experiments/paper/SQN_RetailRocket_NoCV_final/*_2_optimizers``).
+    - one optimizer: a single Adam over the stacked (2, ...) params —
+      torch's one-Adam-over-chained-params. The non-selected net receives
+      zero grads but still moves under its accumulated momentum, and the
+      shared bias-correction count advances every step. The reference's
+      1-vs-2-optimizer ablation axis
+      (``experiments/paper/SQN_RetailRocket_NoCV_final/*_2_optimizers``).
+
+    ``loss_builder(p_main, p_boot) -> (total, (sup_loss, q_loss))``.
     """
-    if rl.single_optimizer:
-        zeros = jax.tree.map(jnp.zeros_like, state.params)
-        stacked_grads = write_net(zeros, idx, grads)
-        updates, new_opt = opt.update(stacked_grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(
-            params=new_params, opt_state=new_opt, step=state.step + 1
+
+    def apply_with(main_i: int, state, grads, aux):
+        p_main = jax.tree.map(lambda x: x[main_i], state.params)
+        if rl.single_optimizer:
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            stacked_grads = jax.tree.map(
+                lambda z, g: z.at[main_i].set(g), zeros, grads
+            )
+            updates, new_opt = opt.update(
+                stacked_grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+        else:
+            opt_main = jax.tree.map(lambda x: x[main_i], state.opt_state)
+            updates, new_opt_main = opt.update(grads, opt_main, p_main)
+            new_p_main = optax.apply_updates(p_main, updates)
+            new_params = jax.tree.map(
+                lambda s, n: s.at[main_i].set(n), state.params, new_p_main
+            )
+            new_opt = jax.tree.map(
+                lambda s, n: s.at[main_i].set(n),
+                state.opt_state,
+                new_opt_main,
+            )
+        return (
+            state.replace(
+                params=new_params, opt_state=new_opt, step=state.step + 1
+            ),
+            aux,
         )
-    opt_main = select_net(state.opt_state, idx)
-    updates, new_opt_main = opt.update(grads, opt_main, params_main)
-    new_params_main = optax.apply_updates(params_main, updates)
-    return state.replace(
-        params=write_net(state.params, idx, new_params_main),
-        opt_state=write_net(state.opt_state, idx, new_opt_main),
-        step=state.step + 1,
+
+    def grads_for(p_main, p_boot):
+        (_, aux), grads = jax.value_and_grad(
+            lambda p: loss_builder(p, p_boot), has_aux=True
+        )(p_main)
+        return _apply_grad_mask(grads, model_cfg), aux
+
+    if full_cond:
+
+        def branch(main_i: int):
+            def br(state: DoubleQState):
+                p_main = jax.tree.map(lambda x: x[main_i], state.params)
+                p_boot = jax.tree.map(lambda x: x[1 - main_i], state.params)
+                grads, aux = grads_for(p_main, p_boot)
+                return apply_with(main_i, state, grads, aux)
+
+            return br
+
+        return jax.lax.cond(idx == 0, branch(0), branch(1), state)
+
+    from ikea_recommender_tpu.train.state import select_net
+
+    p_main = select_net(state.params, idx)
+    p_boot = select_net(state.params, 1 - idx)
+    grads, aux = grads_for(p_main, p_boot)
+    return jax.lax.cond(
+        idx == 0,
+        lambda s, g, a: apply_with(0, s, g, a),
+        lambda s, g, a: apply_with(1, s, g, a),
+        state,
+        grads,
+        aux,
     )
 
 
@@ -284,13 +352,10 @@ def sqn_train_step(
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)  # main net this step
 
-    params_main = select_net(state.params, idx)
-    params_boot = select_net(state.params, 1 - idx)
-
     boot_len = batch["true_len"] if rl.compat_boot_len_bug else batch["true_next_len"]
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
-    def loss_fn(p_main):
+    def loss_builder(p_main, params_boot):
         if model_cfg.fused_ce:
             # Lean path: no (B, A) logits materialize anywhere — fused CE
             # for the sup head, row gather-dots for the Q values, and the
@@ -345,11 +410,9 @@ def sqn_train_step(
         q_loss = _masked_mean(td**2, batch["valid"])
         return q_loss + sup_loss_f, (sup_loss_f, q_loss)
 
-    (_, (sup_loss, q_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        params_main
+    new_state, (sup_loss, q_loss) = _double_q_run(
+        state, idx, loss_builder, model_cfg, opt, rl
     )
-    grads = _apply_grad_mask(grads, model_cfg)
-    new_state = _double_q_apply(state, idx, grads, params_main, opt, rl)
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 
@@ -371,16 +434,13 @@ def smorl_train_step(
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)
 
-    params_main = select_net(state.params, idx)
-    params_boot = select_net(state.params, 1 - idx)
-
     K = model_cfg.num_q_heads
     w = jnp.asarray(rl.q_weights[:K], dtype=jnp.float32)
     boot_len = batch["true_len"] if rl.compat_boot_len_bug else batch["true_next_len"]
     div_len = batch["true_next_len"] if rl.compat_div_len_bug else batch["true_len"]
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
-    def loss_fn(p_main):
+    def loss_builder(p_main, params_boot):
         if model_cfg.fused_ce:
             # Lean path: the sup logits stay dense (the online rewards
             # top-k them) but no (B, K, A) Q logits materialize — row
@@ -461,11 +521,9 @@ def smorl_train_step(
         total = sup_loss + rl.alpha * q_loss
         return total, (sup_loss, q_loss)
 
-    (_, (sup_loss, q_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        params_main
+    new_state, (sup_loss, q_loss) = _double_q_run(
+        state, idx, loss_builder, model_cfg, opt, rl, full_cond=False
     )
-    grads = _apply_grad_mask(grads, model_cfg)
-    new_state = _double_q_apply(state, idx, grads, params_main, opt, rl)
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 
