@@ -41,8 +41,8 @@ import numpy as np
 
 
 def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
-          emb=64, hidden=64, compute_dtype="float32", scan_impl="pallas",
-          fused_ce=True, mv_dtype=None, lazy=False):
+          emb=64, hidden=64, compute_dtype="float32", scan_impl="xla",
+          fused_ce=True, mv_dtype=None, lazy=False, head_precision="high"):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.models.families import model_config_from_train
     from ikea_recommender_tpu.train.state import (
@@ -62,6 +62,7 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
         learning_rate=0.01,
         compute_dtype=compute_dtype,
         fused_ce=fused_ce,
+        head_precision=head_precision,
     )
     data_cfg = DataConfig(num_items=catalog)
     mc = model_config_from_train(train_cfg, data_cfg)
@@ -163,15 +164,22 @@ def detail():
     batch = 256
     rows = []
     arms = [
-        ("gru4rec", dict(fused_ce=True), "fused CE (default)"),
+        ("gru4rec", dict(fused_ce=True), "fused CE, bf16x3 head (default)"),
+        ("gru4rec", dict(head_precision="highest"), "fused CE, fp32 head"),
+        ("gru4rec", dict(head_precision="default"), "fused CE, bf16 head"),
         ("gru4rec", dict(fused_ce=False), "dense CE"),
-        ("gru4rec", dict(scan_impl="xla"), "XLA GRU scan (fused CE)"),
+        ("gru4rec", dict(scan_impl="pallas"), "Pallas GRU scan (fused CE)"),
         ("gru4rec", dict(mv_dtype="bfloat16"), "bf16 Adam m/v (fused CE)"),
+        ("gru4rec", dict(head_precision="default", mv_dtype="bfloat16"),
+         "max-throughput (bf16 head + bf16 m/v)"),
         ("sqn", dict(fused_ce=True), "fused argmax+CE (default)"),
+        ("sqn", dict(head_precision="highest"), "fused, fp32 head"),
         ("sqn", dict(fused_ce=False), "dense"),
         ("smorl", dict(fused_ce=True), "fused argmax (default)"),
+        ("smorl", dict(head_precision="highest"), "fused, fp32 head"),
         ("smorl", dict(fused_ce=False), "dense"),
         ("sarm", dict(fused_ce=True), "fused CE+max (default)"),
+        ("sarm", dict(head_precision="highest"), "fused, fp32 head"),
         ("sarm", dict(fused_ce=False), "dense"),
     ]
     for model, kw, label in arms:

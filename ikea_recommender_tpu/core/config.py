@@ -110,6 +110,14 @@ class TrainConfig:
     # (ops/fused_ce.py): sup logits never materialize in HBM. Applies to
     # gru4rec / bidir_gru4rec / sqn; auto-disabled for model-sharded runs.
     fused_ce: bool = True
+    # MXU precision of the fused head matmuls in TRAIN steps (CE + Q-target
+    # argmax). The step-decomposition profile (scripts/profile_step.py)
+    # showed 6-pass fp32 head matmuls dominating the train step, not HBM
+    # traffic. "high" = bf16x3 (deltas at fp32 rounding level; default),
+    # "highest" = 6-pass fp32 (exact reference-parity numerics),
+    # "default" = single bf16 pass (fastest; ~1e-6 loss delta at the
+    # RetailRocket point). Eval always runs at "highest".
+    head_precision: str = "high"
     # "adam" (reference parity, dense) or "lazy_adam" (sparse-row embedding
     # updates — train/lazy_adam.py; large-catalog throughput opt-in,
     # gru4rec/bidir only, NOT bit-identical to dense Adam).
@@ -139,6 +147,13 @@ class TrainConfig:
     # jax.profiler trace of the first training window (view in Perfetto /
     # TensorBoard). The reference has no tracing at all (SURVEY.md §5).
     profile_dir: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.head_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                "train.head_precision must be one of highest/high/default, "
+                f"got {self.head_precision!r}"
+            )
 
 
 @dataclass
@@ -184,6 +199,11 @@ class MetricsConfig:
     # never materializes (B, A) logits. None = auto (on for big catalogs and
     # whenever the head is model-sharded), True/False = force.
     fused_eval: Optional[bool] = None
+    # MXU precision of the fused eval head matmuls. None (default) keeps
+    # logits bit-identical to the dense path ("highest" fp32 passes);
+    # "high" (bf16x3) / "default" (bf16) trade exactness for throughput —
+    # near-tie top-k order may then differ. Only affects fused_eval.
+    eval_precision: Optional[str] = None
     # Per-action-type HR/NDCG (the old generation's capability, reference
     # old/sqn_evaluation_old.py): name for each numeric type id carried in
     # the buffers' action_type column, e.g. ["click", "buy"]. Emits

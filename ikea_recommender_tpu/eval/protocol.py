@@ -113,8 +113,14 @@ class EvalProtocol:
         mesh=None,
         fused: Optional[bool] = None,
         type_names: Optional[Sequence[str]] = None,
+        eval_precision: Optional[str] = None,
     ):
         self.model_cfg = model_cfg
+        # None (default) = bit-parity with the dense eval path (HIGHEST fp32
+        # head matmuls); "high"/"default" trade MXU passes for throughput —
+        # near-tie top-k order may then differ from dense
+        # (MetricsConfig.eval_precision; docs/performance.md).
+        self.eval_precision = eval_precision
         # Per-action-type HR/NDCG (reference old/sqn_evaluation_old.py):
         # type id i in the buffer's action_type column maps to type_names[i].
         self.type_names = tuple(type_names or ())
@@ -229,7 +235,8 @@ class EvalProtocol:
                 )
             else:
                 _, idx, per_ce = blockwise_head_topk_ce(
-                    h, kernel, bias, self._max_k, self.num_actions, labels=action
+                    h, kernel, bias, self._max_k, self.num_actions,
+                    labels=action, precision=self.eval_precision,
                 )
         else:
             outs = apply_model(params, self.model_cfg, state, true_len)

@@ -61,6 +61,10 @@ class ModelConfig:
     # bidir / sqn); eval always materializes logits for top-k. Forced off
     # for model-axis-sharded runs (the sharded CE kernels own that path).
     fused_ce: bool = False
+    # MXU precision for the fused train-step head matmuls (CE / Q-target
+    # argmax): "high" = bf16x3, "highest" = 6-pass fp32, "default" = bf16.
+    # See TrainConfig.head_precision and docs/performance.md.
+    head_precision: str = "high"
 
     def __post_init__(self):
         if self.family not in FAMILIES:
@@ -110,6 +114,7 @@ def model_config_from_train(train_cfg, data_cfg, align: int = 1) -> ModelConfig:
             and align == 1
             and data_cfg.num_actions >= FUSED_CE_MIN_ACTIONS
         ),
+        head_precision=getattr(train_cfg, "head_precision", "high"),
     )
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ikea_recommender_tpu.ops.fused_ce import _dot
+
 _NEG = -1e30
 
 
@@ -52,13 +54,7 @@ def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, m_acc, i_acc,
         m_acc[:] = jnp.full_like(m_acc, _NEG)
         i_acc[:] = jnp.zeros_like(i_acc)
 
-    logits = (
-        jnp.dot(
-            h_ref[:], w_ref[:],
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        + b_ref[:]
-    )  # (B, BLK)
+    logits = _dot(h_ref[:], w_ref[:], prec) + b_ref[:]  # (B, BLK)
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < valid_ref[0, 0], logits, _NEG)
 
@@ -84,8 +80,6 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
     Identical to ``jnp.argmax(h @ w + b masked to valid_dim, axis=1)``
     including lowest-id tie-breaking. NOT differentiable (use under
     stop_gradient — as all consumers do)."""
-    from ikea_recommender_tpu.ops.fused_ce import _PRECISIONS
-
     # argmax is piecewise-constant: zero tangent everywhere. Stop gradients
     # BEFORE the pallas_call (which has no JVP rule) so callers may pass
     # differentiated params.
@@ -97,9 +91,7 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
     # No w/b padding to a block multiple: the edge tile's unspecified tail
     # values are rejected by the in-kernel ``col < valid_dim`` mask before
     # any reduce (same rationale as ops/fused_ce.py:_fwd).
-    kern = functools.partial(
-        _argmax_kernel, block=blk, prec=_PRECISIONS[precision]
-    )
+    kern = functools.partial(_argmax_kernel, block=blk, prec=precision)
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -137,13 +129,7 @@ def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref,
     # w block layout (F, K, BLK) flattened to (F, K*BLK); weighted head sum
     wsum = jnp.zeros((h_ref.shape[0], block), jnp.float32)
     for k in range(K):  # K is tiny (<=5), static unroll
-        logits_k = (
-            jnp.dot(
-                h_ref[:], w_ref[:, k, :],
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            + b_ref[:, k, :]
-        )
+        logits_k = _dot(h_ref[:], w_ref[:, k, :], prec) + b_ref[:, k, :]
         wsum = wsum + qw_ref[0, k] * logits_k
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, wsum.shape, 1)
     wsum = jnp.where(col < valid_ref[0, 0], wsum, _NEG)
@@ -170,17 +156,13 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
 
     w: (F, K, A) stacked head kernel (models/heads.py layout); b: (K, A).
     Returns (B,) int32. NOT differentiable."""
-    from ikea_recommender_tpu.ops.fused_ce import _PRECISIONS
-
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))  # see fused_linear_argmax
     B, F = h.shape
     _, K, A = w.shape
     blk = _block(A, B * K)
     grid = pl.cdiv(A, blk)
     # No w/b padding — see fused_linear_argmax.
-    kern = functools.partial(
-        _wargmax_kernel, block=blk, K=K, prec=_PRECISIONS[precision]
-    )
+    kern = functools.partial(_wargmax_kernel, block=blk, K=K, prec=precision)
     out = pl.pallas_call(
         kern,
         grid=(grid,),

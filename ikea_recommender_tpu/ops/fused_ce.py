@@ -37,12 +37,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
-# fp32 MXU passes: "highest" = true-fp32 6-pass (matches the repo's fp32
-# parity policy, models/gru.py:matmul_precision); "default" = bf16x3.
+# fp32 MXU passes for the head matmuls: "highest" = 6-pass fp32 emulation
+# (reference-parity numerics, models/gru.py:matmul_precision), "default" =
+# single bf16 pass (fastest, ~8-bit mantissa logits). Mosaic does not lower
+# Precision.HIGH inside Pallas kernels; the near-fp32 middle ground is the
+# manual 3-pass bf16x3 split ("high") below. The step-decomposition profile
+# (scripts/profile_step.py) showed the 6-pass CE matmuls — not HBM traffic —
+# dominate the train step at the RetailRocket point; see docs/performance.md.
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,
 }
+
+
+def _dot3(a, b, transpose_a=False, transpose_b=False):
+    """bf16x3 matmul: split each fp32 operand into a bf16 high part and a
+    bf16 residual; three single-pass bf16 MXU dots with fp32 accumulation
+    recover ~21 mantissa bits (vs 6 passes for full fp32). The a_lo@b_lo
+    term is below fp32 rounding and is dropped."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    ca = ((0,) if transpose_a else (1,), (1,) if transpose_b else (0,))
+    dn = (ca, ((), ()))
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _dot(a, b, prec, transpose_a=False, transpose_b=False):
+    """Matmul at a named precision; "high" routes to the manual bf16x3."""
+    if prec == "high":
+        return _dot3(a, b, transpose_a, transpose_b)
+    ca = ((0,) if transpose_a else (1,), (1,) if transpose_b else (0,))
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(ca, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[prec],
+    )
 
 
 def _interpret() -> bool:
@@ -77,15 +113,7 @@ def _fwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref,
         s_acc[:] = jnp.zeros_like(s_acc)
         g_acc[:] = jnp.zeros_like(g_acc)
 
-    logits = (
-        jnp.dot(
-            h_ref[:],
-            w_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        + b_ref[:]
-    )  # (B, BLK) fp32
+    logits = _dot(h_ref[:], w_ref[:], prec) + b_ref[:]  # (B, BLK) fp32
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < valid_ref[0, 0], logits, _NEG)
 
@@ -122,7 +150,7 @@ def _fwd(h, w, b, labels, valid_dim, precision: str = "highest"):
     # (pad write + padded-dw slice; docs/performance.md).
     lbl2 = labels.astype(jnp.int32).reshape(B, 1)
     valid2 = jnp.asarray(valid_dim, jnp.int32).reshape(1, 1)
-    kern = functools.partial(_fwd_kernel, block=blk, prec=_PRECISIONS[precision])
+    kern = functools.partial(_fwd_kernel, block=blk, prec=precision)
     lse, lbl_logit = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -164,38 +192,20 @@ def _bwd_kernel(valid_ref, h_ref, w_ref, b_ref, lbl_ref, lse_ref, ct_ref,
     def _():
         dh_acc[:] = jnp.zeros_like(dh_acc)
 
-    logits = (
-        jnp.dot(
-            h_ref[:],
-            w_ref[:],
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-        + b_ref[:]
-    )
+    logits = _dot(h_ref[:], w_ref[:], prec) + b_ref[:]
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     p = jnp.where(col < valid_ref[0, 0], jnp.exp(logits - lse_ref[:]), 0.0)
     onehot = ((col == lbl_ref[:]) & (col < valid_ref[0, 0])).astype(jnp.float32)
     dlogits = (p - onehot) * ct_ref[:]  # (B, BLK)
 
-    dw_ref[:] = jax.lax.dot_general(
-        h_ref[:], dlogits,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )  # (F, BLK)
+    dw_ref[:] = _dot(h_ref[:], dlogits, prec, transpose_a=True)  # (F, BLK)
     db_ref[:] = jnp.sum(dlogits, axis=0, keepdims=True)
     # Zero w's tail columns before the contraction over BLK: with an
     # unpadded edge tile their contents are unspecified, and 0 * NaN from
     # the (zeroed) dlogits tail would poison dh.
     colw = j * block + jax.lax.broadcasted_iota(jnp.int32, w_ref.shape, 1)
     w_safe = jnp.where(colw < valid_ref[0, 0], w_ref[:], 0.0)
-    dh_acc[:] += jax.lax.dot_general(
-        dlogits, w_safe,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )  # (B, F)
+    dh_acc[:] += _dot(dlogits, w_safe, prec, transpose_b=True)  # (B, F)
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
@@ -209,7 +219,7 @@ def _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision: str = "highest"):
     grid = pl.cdiv(A, blk)
     # No w/b padding — see _fwd. Edge-tile dw/db stores are masked by
     # Mosaic; the dh contraction masks the tail columns of w in-kernel.
-    kern = functools.partial(_bwd_kernel, block=blk, prec=_PRECISIONS[precision])
+    kern = functools.partial(_bwd_kernel, block=blk, prec=precision)
     dw, db, dh = pl.pallas_call(
         kern,
         grid=(grid,),

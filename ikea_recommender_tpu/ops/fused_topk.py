@@ -45,14 +45,28 @@ _NEG = -1e30
 DEFAULT_BLOCK_COLS = 4096
 
 
-def _head_logits_block(h, kernel_blk, bias_blk):
-    """Same contract as models/heads.py:linear_apply — bit-identical logits."""
+_EVAL_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _head_logits_block(h, kernel_blk, bias_blk, precision=None):
+    """Same contract as models/heads.py:linear_apply. With precision=None
+    (the default everywhere) logits are bit-identical to the dense path;
+    a named precision trades exactness for MXU passes (eval_precision)."""
+    prec = (
+        matmul_precision(h.dtype)
+        if precision is None
+        else _EVAL_PRECISIONS[precision]
+    )
     return (
         jnp.dot(
             h,
             kernel_blk,
             preferred_element_type=jnp.float32,
-            precision=matmul_precision(h.dtype),
+            precision=prec,
         )
         + bias_blk
     )
@@ -68,6 +82,7 @@ def blockwise_head_topk_ce(
     block_cols: int = DEFAULT_BLOCK_COLS,
     col_offset: jax.Array | int = 0,  # global id of kernel column 0
     raw_pieces: bool = False,  # return (top_v, top_i, max, sumexp, label_logit)
+    precision: Optional[str] = None,  # None = dense-bit-parity (HIGHEST@fp32)
 ) -> Tuple[jax.Array, ...]:
     """-> (top_vals (B, k), top_idx (B, k), per_sample_ce (B,) or None).
 
@@ -114,7 +129,7 @@ def blockwise_head_topk_ce(
         start = j * block_cols
         kb = jax.lax.dynamic_slice(kernel, (0, start), (F, block_cols))
         bb = jax.lax.dynamic_slice(bias, (start,), (block_cols,))
-        logits = _head_logits_block(h32, kb, bb)  # (B, W) f32
+        logits = _head_logits_block(h32, kb, bb, precision)  # (B, W) f32
         local_cols = start + jnp.arange(block_cols, dtype=jnp.int32)
         cols = col_offset + local_cols
         ok = (cols < action_dim) & (local_cols < A_pad)
@@ -157,12 +172,22 @@ def blockwise_multihead_max(
     bias: jax.Array,  # (K, A_pad)
     action_dim: int,
     block_cols: int = DEFAULT_BLOCK_COLS,
+    precision: str | None = None,
 ) -> jax.Array:
     """max_a (h @ kernel[:,k,:] + bias[k])[.., :action_dim] per head ->
     (B, K), never materializing (B, K, A). SARM's self-bootstrapped target
     (``max over outs_next``, reference ``sarm.py:143-146``) needs exactly
     this. Forward-only: inputs are stop-gradiented (targets sit under
-    stop_gradient in every consumer)."""
+    stop_gradient in every consumer). ``precision``: "highest"/"high"/
+    "default" MXU passes (TrainConfig.head_precision); None = the repo's
+    dtype-derived policy (fp32 -> HIGHEST)."""
+    prec_map = {
+        None: matmul_precision(h.dtype),
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    mm_prec = prec_map[precision]
     h, kernel, bias = map(jax.lax.stop_gradient, (h, kernel, bias))
     B, F = h.shape
     _, K, A_pad = kernel.shape
@@ -193,7 +218,7 @@ def blockwise_multihead_max(
                 h,
                 blk.reshape(F, K * block_cols),
                 preferred_element_type=jnp.float32,
-                precision=matmul_precision(h.dtype),
+                precision=mm_prec,
             ).reshape(B, K, block_cols)
             + bb[None]
         )

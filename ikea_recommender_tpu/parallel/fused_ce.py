@@ -42,7 +42,7 @@ def _shard_a(w, mesh: Mesh) -> int:
     return A // n
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def sharded_fused_softmax_ce(
     h: jax.Array,  # (B, F) — replicated or data-sharded
     w: jax.Array,  # (F, A) — A padded to a multiple of the model axis
@@ -51,14 +51,16 @@ def sharded_fused_softmax_ce(
     mesh: Mesh,
     valid_dim: int,
     data_axis: str | None = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """Per-sample CE over a column-sharded head without materializing
-    logits. Returns (B,) fp32 losses. Differentiable in h, w, b."""
-    loss, _ = _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis)
+    logits. Returns (B,) fp32 losses. Differentiable in h, w, b.
+    ``precision``: MXU passes of the per-shard kernels (ops/fused_ce.py)."""
+    loss, _ = _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis, precision)
     return loss
 
 
-def _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis):
+def _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis, precision):
     shard_a = _shard_a(w, mesh)
 
     def local(h_l, w_l, b_l, lbl_l):
@@ -66,7 +68,7 @@ def _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis):
         # this shard owns global action columns [my*shard_a, (my+1)*shard_a)
         local_valid = jnp.clip(valid_dim - my * shard_a, 0, shard_a)
         loc_labels = lbl_l.astype(jnp.int32) - my * shard_a  # non-owner: no match
-        lse_s, lbl_s = _fwd(h_l, w_l, b_l, loc_labels, local_valid)
+        lse_s, lbl_s = _fwd(h_l, w_l, b_l, loc_labels, local_valid, precision)
         # merge shard logsumexps (a fully-padded shard's lse_s ~ -1e30 -> 0)
         g = jax.lax.pmax(lse_s, MODEL_AXIS)
         lse = g + jnp.log(jax.lax.psum(jnp.exp(lse_s - g), MODEL_AXIS))
@@ -88,12 +90,12 @@ def _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis):
     return loss, lse
 
 
-def _vjp_fwd(h, w, b, labels, mesh, valid_dim, data_axis):
-    loss, lse = _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis)
+def _vjp_fwd(h, w, b, labels, mesh, valid_dim, data_axis, precision):
+    loss, lse = _fwd_sharded(h, w, b, labels, mesh, valid_dim, data_axis, precision)
     return loss, (h, w, b, labels, lse)
 
 
-def _vjp_bwd(mesh, valid_dim, data_axis, res, ct):
+def _vjp_bwd(mesh, valid_dim, data_axis, precision, res, ct):
     h, w, b, labels, lse = res
     shard_a = _shard_a(w, mesh)
 
@@ -102,7 +104,7 @@ def _vjp_bwd(mesh, valid_dim, data_axis, res, ct):
         local_valid = jnp.clip(valid_dim - my * shard_a, 0, shard_a)
         loc_labels = lbl_l.astype(jnp.int32) - my * shard_a
         dh_s, dw, db = _bwd_call(
-            h_l, w_l, b_l, loc_labels, lse_l, ct_l, local_valid
+            h_l, w_l, b_l, loc_labels, lse_l, ct_l, local_valid, precision
         )
         return jax.lax.psum(dh_s, MODEL_AXIS), dw, db
 

@@ -169,6 +169,7 @@ def sharded_fused_ce_raw_step(model_cfg, opt, mesh: Mesh) -> Callable:
                 mesh,
                 model_cfg.action_dim,
                 data_axis=DATA_AXIS,
+                precision=model_cfg.head_precision,
             )
             w = batch["valid"].astype(per.dtype)
             return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -383,6 +383,7 @@ def train(
         mesh=mesh,
         fused=m_cfg.fused_eval,
         type_names=m_cfg.action_type_names,
+        eval_precision=m_cfg.eval_precision,
     )
 
     tracker = BestModelTracker(

@@ -105,7 +105,12 @@ def _fused_sup_ce(
     ``_ce_loss`` over ``mask_pad_logits``-masked logits."""
     head = params["sup_head"]
     per = fused_softmax_ce(
-        h.astype(jnp.float32), head["kernel"], head["bias"], labels, cfg.action_dim
+        h.astype(jnp.float32),
+        head["kernel"],
+        head["bias"],
+        labels,
+        cfg.action_dim,
+        cfg.head_precision,
     )
     return _masked_mean(per, valid)
 
@@ -374,7 +379,8 @@ def sqn_train_step(
                 )
             )
             max_a_next = fused_linear_argmax(
-                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim
+                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                model_cfg.head_precision,
             )
             qb = params_boot["q_head"]
             h_next_boot = apply_features(
@@ -460,7 +466,8 @@ def smorl_train_step(
                 )
             )
             max_a_next = fused_weighted_multihead_argmax(
-                h_next, qh["kernel"], qh["bias"], w, model_cfg.action_dim
+                h_next, qh["kernel"], qh["bias"], w, model_cfg.action_dim,
+                model_cfg.head_precision,
             )
             qb = params_boot["q_heads"]
             h_next_boot = apply_features(
@@ -559,6 +566,7 @@ def sarm_train_step(
                 qh["bias"][0],
                 batch["action"],
                 model_cfg.action_dim,
+                model_cfg.head_precision,
             )
             sup_loss = _masked_mean(per, batch["valid"])
             q = multihead_row_logit(
@@ -570,7 +578,8 @@ def sarm_train_step(
                 )
             )
             q_next = blockwise_multihead_max(
-                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim
+                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                precision=model_cfg.head_precision,
             )  # (B, 5)
         else:
             outs = apply_model(params, model_cfg, batch["state"], batch["true_len"])

@@ -72,3 +72,31 @@ def test_fused_ce_under_jit_and_large_batch():
     got = f(h, w, b)
     want = _ref_per_example(h, w, b, labels, A).mean()
     np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+@pytest.mark.parametrize("precision,rtol", [("high", 5e-4), ("default", 5e-2)])
+def test_fused_ce_reduced_precision_close(precision, rtol):
+    """head_precision="high" (manual bf16x3 split, ops/fused_ce.py:_dot3)
+    and "default" (single bf16 pass) must stay close to the fp32 reference —
+    value AND gradients. These are the train-step fast paths
+    (TrainConfig.head_precision; profiled in scripts/profile_step.py)."""
+    rs = np.random.RandomState(1)
+    B, F, A, valid = 8, 16, 300, 300
+    h = jnp.asarray(rs.randn(B, F).astype(np.float32))
+    w = jnp.asarray(rs.randn(F, A).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(A).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rs.randint(0, valid, (B,)), jnp.int32)
+
+    def mean_loss(fn):
+        return lambda h, w, b: jnp.mean(fn(h, w, b))
+
+    got_fn = mean_loss(lambda h, w, b: fused_softmax_ce(h, w, b, labels, valid, precision))
+    ref_fn = mean_loss(lambda h, w, b: _ref_per_example(h, w, b, labels, valid))
+
+    got, g_got = jax.value_and_grad(got_fn, argnums=(0, 1, 2))(h, w, b)
+    want, g_want = jax.value_and_grad(ref_fn, argnums=(0, 1, 2))(h, w, b)
+    np.testing.assert_allclose(float(got), float(want), rtol=rtol)
+    for a, e in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=rtol * 50, atol=rtol
+        )
