@@ -119,7 +119,8 @@ def _scan_loop(step, K):
             return s, None
 
         s, _ = jax.lax.scan(body, state, None, length=K)
-        emb = s.params["backbone"]["embedding"]
+        p = s.params[0] if isinstance(s.params, tuple) else s.params
+        emb = p["backbone"]["embedding"]
         return emb.reshape(-1)[::8191].astype(jnp.float32).sum()
 
     return jax.jit(loop)

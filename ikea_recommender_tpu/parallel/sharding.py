@@ -34,8 +34,8 @@ from ikea_recommender_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
     """PartitionSpec for one parameter leaf, by name + rank.
 
-    Handles both single nets and double-Q stacked nets (leading axis 2:
-    leaf rank is +1, the extra dim stays unsharded).
+    Handles both single nets and double-Q (net0, net1) pairs — the tuple
+    index rides in ``path_keys`` and every leaf keeps its per-net rank.
     """
     name = path_keys[-1] if path_keys else ""
     joined = "/".join(path_keys)
@@ -55,7 +55,7 @@ def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
     if n_model <= 1:
         return P()
     if "embedding" in joined:
-        # (V+1, E) (+1 leading stack dim for double-Q): shard vocab rows.
+        # (V+1, E): shard vocab rows.
         return guarded([None] * (rank - 2) + [MODEL_AXIS, None])
     if "sup_head" in joined or "q_head" in joined or "q_heads" in joined:
         if name in ("kernel", "bias"):

@@ -94,10 +94,11 @@ class TrainOutcome:
 
 
 def _eval_params_list(state, family):
-    """Networks to evaluate: [net1] or [net1, net2] for double-Q."""
+    """Networks to evaluate: [net1] or [net1, net2] for double-Q. The
+    (net0, net1) tuple layout makes this a zero-copy unpack (the stacked
+    layout paid a jitted gather — and a retrace — per eval point here)."""
     if family in DOUBLE_Q_FAMILIES:
-        nets = jax.jit(lambda p: (select_net(p, 0), select_net(p, 1)))(state.params)
-        return list(nets)
+        return [state.params[0], state.params[1]]
     return [state.params]
 
 

@@ -4,14 +4,18 @@ Two shapes:
 
 - :class:`TrainState` — one network + one Adam state (GRU4Rec / Bidir / SARM).
 - :class:`DoubleQState` — the reference's double-Q pairs (SQN / SMORL:
-  ``sqn_gru.py:141-181``) as STACKED pytrees: every param / optimizer leaf
-  carries a leading axis of size 2. Per step a jax.random coin picks the
-  main net via ``lax.cond`` over two static-index branches (see
-  steps._double_q_run) — one jitted step, no retracing, no host round-trip
-  (fixes SURVEY.md quirk 7), and no dynamic-index copies of the nets.
+  ``sqn_gru.py:141-181``) as a TUPLE of two independent pytrees. Per step a
+  jax.random coin picks the main net via ``lax.cond`` over two branches that
+  reference each tree directly (steps._double_q_run) — one jitted step, no
+  retracing, no host round-trip (fixes SURVEY.md quirk 7).
 
-The stacked layout is also what a TPU wants: both nets' optimizer updates
-are identical programs, and the (2, ...) leaves vectorize trivially.
+Round-2 stored the pair STACKED (every leaf (2, ...)) and selected with
+indexed gathers/scatters; a device trace showed ~4.3ms/step of pure copies
+and layout conversions from that shape at the RetailRocket SMORL point
+(donated in-place updates can't alias through the stack slice, and the
+(2, F, K, A) heads kept bouncing between layouts). Separate trees let the
+untouched net pass through the cond as an aliased identity: measured
+5.7ms -> 4.4ms/step on SMORL (docs/performance.md).
 """
 
 from __future__ import annotations
@@ -36,8 +40,8 @@ class TrainState:
 
 @struct.dataclass
 class DoubleQState:
-    params: Any  # every leaf (2, ...)
-    opt_state: Any  # every leaf (2, ...)
+    params: Any  # (net0, net1) — two independent param pytrees
+    opt_state: Any  # (opt0, opt1), or ONE shared Adam over the param pair
     step: jax.Array
     rng: jax.Array
 
@@ -128,20 +132,19 @@ def make_double_q_state(
     key: jax.Array, model_cfg: ModelConfig, learning_rate: float,
     mv_dtype: str | None = None, single_optimizer: bool = False,
 ) -> Tuple[DoubleQState, optax.GradientTransformation]:
-    """``single_optimizer=True`` gives ONE Adam state over the stacked
-    (2, ...) params instead of one per net — the other arm of the
-    reference's 1-vs-2-optimizer ablation (see steps._double_q_run)."""
+    """``single_optimizer=True`` gives ONE Adam state over the (net0, net1)
+    param pair instead of one per net — the other arm of the reference's
+    1-vs-2-optimizer ablation (see steps._double_q_run)."""
     k1, k2, k_state = jax.random.split(key, 3)
     p1 = init_model(k1, model_cfg)
     p2 = init_model(k2, model_cfg)  # independent init, like the reference's
     # sequential torch draws for DQN_1 / DQN_2
     opt = make_optimizer(learning_rate, mv_dtype)
-    stack = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
-    params = stack(p1, p2)
+    params = (p1, p2)
     if single_optimizer:
         opt_state = opt.init(params)
     else:
-        opt_state = stack(opt.init(p1), opt.init(p2))
+        opt_state = (opt.init(p1), opt.init(p2))
     return (
         DoubleQState(
             params=params,
@@ -153,14 +156,11 @@ def make_double_q_state(
     )
 
 
-def select_net(stacked: Any, idx: jax.Array) -> Any:
-    """Pull network `idx` out of a stacked pytree (dynamic index)."""
-    return jax.tree.map(lambda x: x[idx], stacked)
-
-
-def write_net(stacked: Any, idx: jax.Array, new: Any) -> Any:
-    """Write network `idx` back into a stacked pytree."""
-    return jax.tree.map(lambda s, n: s.at[idx].set(n), stacked, new)
+def select_net(params: Any, idx: int) -> Any:
+    """Network ``idx`` of a double-Q (net0, net1) pair. STATIC index only —
+    a traced index would reintroduce the gather-copy the tuple layout
+    exists to avoid."""
+    return params[idx]
 
 
 # ---------------------------------------------------------------------------

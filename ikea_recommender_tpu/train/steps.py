@@ -50,7 +50,8 @@ from ikea_recommender_tpu.ops.fused_argmax import (
     row_logit,
 )
 from ikea_recommender_tpu.ops.fused_ce import fused_softmax_ce
-from ikea_recommender_tpu.ops.rewards import diversity_rewards, novelty_rewards
+from ikea_recommender_tpu.ops.ranking import topk_indices
+from ikea_recommender_tpu.ops.rewards import diversity_from_topk, novelty_from_topk
 from ikea_recommender_tpu.ops.rl import (
     gather_from_3d,
     get_max_action,
@@ -246,105 +247,70 @@ def _double_q_run(
     model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
     rl: RLStepConfig,
-    full_cond: bool = True,
 ) -> Tuple[DoubleQState, Tuple[jax.Array, jax.Array]]:
-    """Run one double-Q step with STATIC net indices inside ``lax.cond``.
+    """One double-Q step: ``lax.cond(idx == 0, step<main=0>, step<main=1>)``
+    over the (net0, net1) param/opt TUPLES.
 
-    The round-1 shape — ``x[idx]`` gathers with a traced idx — physically
-    copied the selected net's params and Adam moments out and back every
-    step (~2x the whole Adam stream in HBM traffic at the RetailRocket
-    point). Static slices inside a cond branch fuse into their consumers
-    and the write-back aliases the donated stacked buffer.
-
-    Two shapes, chosen per family by A/B on the real chip (BENCH_DETAIL.md):
-
-    - ``full_cond=True``: the whole step (forward, backward, optimizer) runs
-      inside ``lax.cond(idx == 0, step<0>, step<1>)``. Fastest for SQN
-      (-14% step time): every select/write copy disappears.
-    - ``full_cond=False``: forward/backward run once on dynamically selected
-      params (one traced-idx gather per net); only the optimizer apply is
-      conditioned with static indices. Fastest for SMORL, whose branch-
-      duplicated forward (dense sup logits + online-reward top-k) defeats
-      XLA's cross-step prefetching when cloned into both cond branches
-      (measured +14% for full_cond there).
+    Each branch references its main/boot trees directly — no indexed
+    gather or scatter anywhere, so the untouched net's params and Adam
+    moments pass through the cond as aliased identities (the donated
+    buffers are reused in place). Earlier rounds stored the pair stacked
+    (2, ...) and paid ~4.3ms/step in copies + layout conversions at the
+    RetailRocket SMORL point (device trace, docs/performance.md); the
+    branch-duplicated forward costs nothing at runtime (one branch
+    executes) and only ~2x the (cached) compile.
 
     Optimizer shapes (``TrainConfig.double_q_optimizers``):
 
     - two optimizers (default; the live reference ``sqn_gru.py:172-179``):
       each net owns an independent Adam state; only the selected net's
       params and moments move this step.
-    - one optimizer: a single Adam over the stacked (2, ...) params —
-      torch's one-Adam-over-chained-params. The non-selected net receives
-      zero grads but still moves under its accumulated momentum, and the
-      shared bias-correction count advances every step. The reference's
+    - one optimizer: a single Adam over the (net0, net1) pair — torch's
+      one-Adam-over-chained-params. The non-selected net receives zero
+      grads but still moves under its accumulated momentum, and the shared
+      bias-correction count advances every step. The reference's
       1-vs-2-optimizer ablation axis
       (``experiments/paper/SQN_RetailRocket_NoCV_final/*_2_optimizers``).
 
     ``loss_builder(p_main, p_boot) -> (total, (sup_loss, q_loss))``.
     """
 
-    def apply_with(main_i: int, state, grads, aux):
-        p_main = jax.tree.map(lambda x: x[main_i], state.params)
-        if rl.single_optimizer:
-            zeros = jax.tree.map(jnp.zeros_like, state.params)
-            stacked_grads = jax.tree.map(
-                lambda z, g: z.at[main_i].set(g), zeros, grads
+    def branch(main_i: int):
+        def br(state: DoubleQState):
+            p_main = state.params[main_i]
+            p_boot = state.params[1 - main_i]
+            (_, aux), grads = jax.value_and_grad(
+                lambda p: loss_builder(p, p_boot), has_aux=True
+            )(p_main)
+            grads = _apply_grad_mask(grads, model_cfg)
+            if rl.single_optimizer:
+                zeros = jax.tree.map(jnp.zeros_like, p_boot)
+                pair_grads = (grads, zeros) if main_i == 0 else (zeros, grads)
+                updates, new_opt = opt.update(
+                    pair_grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+            else:
+                updates, new_o = opt.update(
+                    grads, state.opt_state[main_i], p_main
+                )
+                new_p = optax.apply_updates(p_main, updates)
+                if main_i == 0:
+                    new_params = (new_p, state.params[1])
+                    new_opt = (new_o, state.opt_state[1])
+                else:
+                    new_params = (state.params[0], new_p)
+                    new_opt = (state.opt_state[0], new_o)
+            return (
+                state.replace(
+                    params=new_params, opt_state=new_opt, step=state.step + 1
+                ),
+                aux,
             )
-            updates, new_opt = opt.update(
-                stacked_grads, state.opt_state, state.params
-            )
-            new_params = optax.apply_updates(state.params, updates)
-        else:
-            opt_main = jax.tree.map(lambda x: x[main_i], state.opt_state)
-            updates, new_opt_main = opt.update(grads, opt_main, p_main)
-            new_p_main = optax.apply_updates(p_main, updates)
-            new_params = jax.tree.map(
-                lambda s, n: s.at[main_i].set(n), state.params, new_p_main
-            )
-            new_opt = jax.tree.map(
-                lambda s, n: s.at[main_i].set(n),
-                state.opt_state,
-                new_opt_main,
-            )
-        return (
-            state.replace(
-                params=new_params, opt_state=new_opt, step=state.step + 1
-            ),
-            aux,
-        )
 
-    def grads_for(p_main, p_boot):
-        (_, aux), grads = jax.value_and_grad(
-            lambda p: loss_builder(p, p_boot), has_aux=True
-        )(p_main)
-        return _apply_grad_mask(grads, model_cfg), aux
+        return br
 
-    if full_cond:
-
-        def branch(main_i: int):
-            def br(state: DoubleQState):
-                p_main = jax.tree.map(lambda x: x[main_i], state.params)
-                p_boot = jax.tree.map(lambda x: x[1 - main_i], state.params)
-                grads, aux = grads_for(p_main, p_boot)
-                return apply_with(main_i, state, grads, aux)
-
-            return br
-
-        return jax.lax.cond(idx == 0, branch(0), branch(1), state)
-
-    from ikea_recommender_tpu.train.state import select_net
-
-    p_main = select_net(state.params, idx)
-    p_boot = select_net(state.params, 1 - idx)
-    grads, aux = grads_for(p_main, p_boot)
-    return jax.lax.cond(
-        idx == 0,
-        lambda s, g, a: apply_with(0, s, g, a),
-        lambda s, g, a: apply_with(1, s, g, a),
-        state,
-        grads,
-        aux,
-    )
+    return jax.lax.cond(idx == 0, branch(0), branch(1), state)
 
 
 def sqn_train_step(
@@ -446,15 +412,36 @@ def smorl_train_step(
     div_len = batch["true_next_len"] if rl.compat_div_len_bug else batch["true_len"]
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
+    # top-k width the online rewards need from the sup head (0 for K=1)
+    k_need = max(rl.topk_div if K >= 2 else 0, rl.topk_nov if K >= 3 else 0)
+
     def loss_builder(p_main, params_boot):
         if model_cfg.fused_ce:
-            # Lean path: the sup logits stay dense (the online rewards
-            # top-k them) but no (B, K, A) Q logits materialize — row
-            # gather-dots + the weighted-argmax kernel
+            # Lean path: NOTHING dense materializes — fused-CE kernel for
+            # the sup loss (ops/fused_ce.py), a forward-only blockwise
+            # top-k scan for the online-reward predictions
+            # (ops/fused_topk.py), row gather-dots for the Q values and the
+            # weighted-argmax kernel for the target action
             # (ops/fused_argmax.py).
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
-            sup = mask_pad_logits(model_cfg, linear_apply(p_main["sup_head"], h))
-            sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
+            sup_loss = _fused_sup_ce(
+                p_main, model_cfg, h, batch["action"], batch["valid"]
+            )
+            top_i = None
+            if k_need:
+                from ikea_recommender_tpu.ops.fused_topk import (
+                    blockwise_head_topk_ce,
+                )
+
+                sh = p_main["sup_head"]
+                _, top_i, _ = blockwise_head_topk_ce(
+                    jax.lax.stop_gradient(h.astype(jnp.float32)),
+                    jax.lax.stop_gradient(sh["kernel"]),
+                    jax.lax.stop_gradient(sh["bias"]),
+                    k_need,
+                    model_cfg.action_dim,
+                    precision=model_cfg.head_precision,
+                )
             qh = p_main["q_heads"]
             q = multihead_row_logit(
                 h, qh["kernel"], qh["bias"], batch["action"]
@@ -483,6 +470,11 @@ def smorl_train_step(
                 p_main, model_cfg, batch["state"], batch["true_len"]
             )
             sup_loss = _ce_loss(sup, batch["action"], batch["valid"])
+            top_i = (
+                topk_indices(jax.lax.stop_gradient(sup), k_need)
+                if k_need
+                else None
+            )
             q = gather_from_3d(q_all, batch["action"])  # (B, K)
 
             # Bootstrapped target (no grad): a* maximizes the WEIGHTED head
@@ -500,25 +492,26 @@ def smorl_train_step(
             )  # (B, K)
         q_next_boot = q_next_boot * not_end[:, None]
 
-        # Online rewards from the supervised head's predictions (no grad).
-        sup_ng = jax.lax.stop_gradient(sup)
+        # Online rewards from the supervised head's top-k predictions (no
+        # grad). Both rewards slice one shared (B, k_need) top-k: a sorted
+        # top-k's first k' columns ARE the top-k' (lax.top_k sorts
+        # descending, lower index first on ties).
         rewards = [batch["reward"]]
         if K >= 2:
             rewards.append(
-                diversity_rewards(
+                diversity_from_topk(
                     batch["state"],
-                    sup_ng,
+                    top_i[:, : rl.topk_div],
                     div_len,
                     rl.padding_pos,
-                    rl.topk_div,
                     div_embedding,
                     out_to_in=out_to_in,
                 )
             )
         if K >= 3:
             rewards.append(
-                novelty_rewards(
-                    sup_ng, unpopular_mask, rl.nov_rew_sig, rl.topk_nov
+                novelty_from_topk(
+                    top_i[:, : rl.topk_nov], unpopular_mask, rl.nov_rew_sig
                 )
             )
         r = jnp.stack(rewards, axis=1).astype(jnp.float32)  # (B, K)
@@ -529,7 +522,7 @@ def smorl_train_step(
         return total, (sup_loss, q_loss)
 
     new_state, (sup_loss, q_loss) = _double_q_run(
-        state, idx, loss_builder, model_cfg, opt, rl, full_cond=False
+        state, idx, loss_builder, model_cfg, opt, rl
     )
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 

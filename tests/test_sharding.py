@@ -103,20 +103,24 @@ def test_sharded_train_step_runs_and_matches_single_device(family):
 
         state, _ = make_train_state(jax.random.key(0), mc, 0.01)
 
+    def emb_of(params):
+        # double-Q params are a (net0, net1) tuple
+        return (params[0] if isinstance(params, tuple) else params)[
+            "backbone"
+        ]["embedding"]
+
     # single-device result
     s1, m1 = step_plain(state, batch)
-    ref_emb = np.asarray(s1.params["backbone"]["embedding"])
+    ref_emb = np.asarray(emb_of(s1.params))
 
     # sharded result
     raw_step = make_train_step(mc, opt, rl, **aux, jit=False)
     sharded = shard_state(state, mesh)
     step_sh = make_sharded_train_step(raw_step, mesh, state, batch)
     s2, m2 = step_sh(sharded, batch)
-    np.testing.assert_allclose(
-        np.asarray(s2.params["backbone"]["embedding"]), ref_emb, atol=2e-5
-    )
+    np.testing.assert_allclose(np.asarray(emb_of(s2.params)), ref_emb, atol=2e-5)
     np.testing.assert_allclose(float(m1["sup_loss"]), float(m2["sup_loss"]), rtol=1e-4)
 
     # and the sharding actually landed where intended: vocab rows on model
-    emb_spec = s2.params["backbone"]["embedding"].sharding.spec
+    emb_spec = emb_of(s2.params).sharding.spec
     assert MODEL_AXIS in tuple(emb_spec)

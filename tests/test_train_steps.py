@@ -90,12 +90,19 @@ def test_double_q_loss_decreases(model):
     assert np.isfinite(float(m["q_loss"]))
 
 
+def _emb_pair(state):
+    """(2, V, E) view of both double-Q nets' embedding tables."""
+    return np.stack(
+        [np.asarray(state.params[i]["backbone"]["embedding"]) for i in (0, 1)]
+    )
+
+
 def test_double_q_updates_only_selected_net():
     mc, opt, step = _make("sqn")
     state, _ = make_double_q_state(jax.random.key(3), mc, 0.05)
-    before = np.asarray(state.params["backbone"]["embedding"])
+    before = _emb_pair(state)
     state2, _ = step(state, _toy_batch())
-    after = np.asarray(state2.params["backbone"]["embedding"])
+    after = _emb_pair(state2)
     changed = [not np.allclose(before[i], after[i]) for i in range(2)]
     assert sum(changed) == 1  # exactly one of the two nets moved
 
@@ -118,10 +125,10 @@ def test_double_q_single_optimizer_shares_adam_across_nets():
     )
     batch = _toy_batch()
     n_steps = 8
-    emb = [np.asarray(state.params["backbone"]["embedding"])]
+    emb = [_emb_pair(state)]
     for _ in range(n_steps):
         state, m = step(state, batch)
-        emb.append(np.asarray(state.params["backbone"]["embedding"]))
+        emb.append(_emb_pair(state))
     moved = np.array(
         [
             [not np.allclose(emb[t][i], emb[t + 1][i]) for i in (0, 1)]
@@ -145,10 +152,10 @@ def test_double_q_alternation_is_random_but_covers_both():
     mc, opt, step = _make("sqn")
     state, _ = make_double_q_state(jax.random.key(4), mc, 0.05)
     batch = _toy_batch()
-    start = np.asarray(state.params["backbone"]["embedding"])
+    start = _emb_pair(state)
     for _ in range(10):
         state, _ = step(state, batch)
-    end = np.asarray(state.params["backbone"]["embedding"])
+    end = _emb_pair(state)
     # Over 10 coin flips both nets should have been selected at least once.
     assert not np.allclose(start[0], end[0])
     assert not np.allclose(start[1], end[1])
