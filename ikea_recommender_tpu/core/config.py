@@ -107,9 +107,14 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
     # Fused Pallas softmax-CE for the supervised head in train steps
-    # (ops/fused_ce.py): sup logits never materialize in HBM. Applies to
-    # gru4rec / bidir_gru4rec / sqn; auto-disabled for model-sharded runs.
+    # (ops/fused_ce.py): sup logits never materialize in HBM. Under a mesh
+    # the action-sharded variants run (parallel/{fused_ce,q_kernels}.py).
     fused_ce: bool = True
+    # Catalog size below which fused_ce auto-disables (the kernels' fixed
+    # per-call cost beats their traffic savings on tiny catalogs —
+    # models/families.py:FUSED_CE_MIN_ACTIONS). Set 0 to force fused on
+    # (tests / multichip dryruns on toy catalogs).
+    fused_ce_min_actions: Optional[int] = None
     # MXU precision of the fused head matmuls in TRAIN steps (CE + Q-target
     # argmax). The step-decomposition profile (scripts/profile_step.py)
     # showed 6-pass fp32 head matmuls dominating the train step, not HBM

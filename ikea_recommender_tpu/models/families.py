@@ -55,11 +55,11 @@ class ModelConfig:
     # divisibility + aligned TPU tiles). Padded logits are masked to -1e9
     # so softmax / top-k / argmax semantics are untouched. 1 = exact dims.
     action_align: int = 1
-    # Compute the supervised CE through the fused Pallas kernel
-    # (ops/fused_ce.py) — logits never hit HBM. Only affects TRAIN steps of
-    # families whose sup logits aren't otherwise needed in-step (gru4rec /
-    # bidir / sqn); eval always materializes logits for top-k. Forced off
-    # for model-axis-sharded runs (the sharded CE kernels own that path).
+    # Compute the supervised CE (and the Q-target argmax / row logits /
+    # reward top-k) through the fused kernels — logits never hit HBM
+    # (ops/{fused_ce,fused_argmax,fused_topk}.py). Mesh runs route to the
+    # action-sharded variants (parallel/{fused_ce,q_kernels}.py) via the
+    # ``mesh`` argument of train.steps.make_train_step.
     fused_ce: bool = False
     # MXU precision for the fused train-step head matmuls (CE / Q-target
     # argmax): "high" = bf16x3, "highest" = 6-pass fp32, "default" = bf16.
@@ -111,8 +111,12 @@ def model_config_from_train(train_cfg, data_cfg, align: int = 1) -> ModelConfig:
         action_align=align,
         fused_ce=(
             getattr(train_cfg, "fused_ce", False)
-            and align == 1
-            and data_cfg.num_actions >= FUSED_CE_MIN_ACTIONS
+            and data_cfg.num_actions
+            >= (
+                FUSED_CE_MIN_ACTIONS
+                if getattr(train_cfg, "fused_ce_min_actions", None) is None
+                else train_cfg.fused_ce_min_actions
+            )
         ),
         head_precision=getattr(train_cfg, "head_precision", "high"),
     )

@@ -46,15 +46,18 @@ def linear_apply(params: Dict[str, jax.Array], h: jax.Array) -> jax.Array:
 def init_multihead(
     key: jax.Array, num_heads: int, in_dim: int, out_dim: int, dtype=jnp.float32
 ) -> Dict[str, jax.Array]:
-    """Kernel layout (F, K, A): the apply reshapes it to (F, K*A) — a free
-    bitcast — so forward AND backward are single plain MXU matmuls. (A
-    direct `bf,kfa->bka` einsum's transposed gradient contraction lowers
-    pathologically on TPU: ~150s compile at the reference's shapes.)"""
+    """Kernel layout (K, F, A): leading head axis, so each head is a
+    contiguous (F, A) plane with the standard TPU (8, 128) tiling — the
+    same shape class as a single linear head. Rounds 1-2 stored (F, K, A);
+    with K=3..5 as a middle dim the (K, A) trailing plane tiled T(4, 128)
+    and every hand-off between the Pallas custom-calls, the gather/scatter
+    of row logits, and the optimizer inserted a 54MB layout-conversion
+    copy (device trace, docs/performance.md)."""
     k_w, k_b = jax.random.split(key)
     bound = 1.0 / jnp.sqrt(in_dim)
     return {
         "kernel": jax.random.uniform(
-            k_w, (in_dim, num_heads, out_dim), dtype=dtype, minval=-bound, maxval=bound
+            k_w, (num_heads, in_dim, out_dim), dtype=dtype, minval=-bound, maxval=bound
         ),
         "bias": jax.random.uniform(
             k_b, (num_heads, out_dim), dtype=dtype, minval=-bound, maxval=bound
@@ -63,12 +66,20 @@ def init_multihead(
 
 
 def multihead_apply(params: Dict[str, jax.Array], h: jax.Array) -> jax.Array:
-    """(B, F) -> (B, K, A) stacked Q-head outputs."""
-    F, K, A = params["kernel"].shape
-    out = jnp.dot(
-        h,
-        params["kernel"].reshape(F, K * A),
-        preferred_element_type=jnp.float32,
-        precision=matmul_precision(h.dtype),
-    )
-    return out.reshape(h.shape[0], K, A) + params["bias"][None, :, :]
+    """(B, F) -> (B, K, A) stacked Q-head outputs.
+
+    K separate plain MXU matmuls (K <= 5, static unroll) — clean transposed
+    gradients per head. (A fused `bf,kfa->bka` einsum's transposed
+    contraction lowers pathologically on TPU: ~150s compile at the
+    reference's shapes.)"""
+    K = params["kernel"].shape[0]
+    outs = [
+        jnp.dot(
+            h,
+            params["kernel"][k],
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(h.dtype),
+        )
+        for k in range(K)
+    ]
+    return jnp.stack(outs, axis=1) + params["bias"][None, :, :]

@@ -45,8 +45,8 @@ def _block(A: int, B: int = 256) -> int:
     return 128
 
 
-def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, m_acc, i_acc,
-                   *, block: int, prec):
+def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, max_ref,
+                   m_acc, i_acc, *, block: int, prec):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -72,14 +72,18 @@ def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, m_acc, i_acc,
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
         out_ref[:] = i_acc[:]
+        max_ref[:] = m_acc[:]
 
 
-def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
+def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest",
+                        with_max: bool = False):
     """argmax over a linear head: (B, F) x (F, A) -> (B,) int32 action ids.
 
     Identical to ``jnp.argmax(h @ w + b masked to valid_dim, axis=1)``
     including lowest-id tie-breaking. NOT differentiable (use under
-    stop_gradient — as all consumers do)."""
+    stop_gradient — as all consumers do). ``with_max=True`` additionally
+    returns the (B,) max logit — the exact kernel-computed value, which the
+    action-sharded merge compares across shards (parallel/q_kernels.py)."""
     # argmax is piecewise-constant: zero tangent everywhere. Stop gradients
     # BEFORE the pallas_call (which has no JVP rule) so callers may pass
     # differentiated params.
@@ -92,7 +96,7 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
     # values are rejected by the in-kernel ``col < valid_dim`` mask before
     # any reduce (same rationale as ops/fused_ce.py:_fwd).
     kern = functools.partial(_argmax_kernel, block=blk, prec=precision)
-    out = pl.pallas_call(
+    out, mx = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
@@ -101,8 +105,14 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
             pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((B, 1), jnp.float32),
             pltpu.VMEM((B, 1), jnp.int32),
@@ -114,10 +124,13 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest"):
         w,
         b.reshape(1, A),
     )
-    return jax.lax.stop_gradient(out[:, 0])
+    out = jax.lax.stop_gradient(out[:, 0])
+    if with_max:
+        return out, jax.lax.stop_gradient(mx[:, 0])
+    return out
 
 
-def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref,
+def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref, max_ref,
                     m_acc, i_acc, *, block: int, K: int, prec):
     j = pl.program_id(0)
 
@@ -126,10 +139,10 @@ def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref,
         m_acc[:] = jnp.full_like(m_acc, _NEG)
         i_acc[:] = jnp.zeros_like(i_acc)
 
-    # w block layout (F, K, BLK) flattened to (F, K*BLK); weighted head sum
+    # w block layout (K, F, BLK); weighted head sum
     wsum = jnp.zeros((h_ref.shape[0], block), jnp.float32)
     for k in range(K):  # K is tiny (<=5), static unroll
-        logits_k = _dot(h_ref[:], w_ref[:, k, :], prec) + b_ref[:, k, :]
+        logits_k = _dot(h_ref[:], w_ref[k], prec) + b_ref[k]
         wsum = wsum + qw_ref[0, k] * logits_k
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, wsum.shape, 1)
     wsum = jnp.where(col < valid_ref[0, 0], wsum, _NEG)
@@ -147,34 +160,43 @@ def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref,
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
         out_ref[:] = i_acc[:]
+        max_ref[:] = m_acc[:]
 
 
 def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
-                                    precision: str = "highest"):
+                                    precision: str = "highest",
+                                    with_max: bool = False):
     """SMORL target action: argmax_a sum_k q_weights[k] * (h @ w[:,k,:] + b[k])
     without materializing any (B, K, A) logits.
 
-    w: (F, K, A) stacked head kernel (models/heads.py layout); b: (K, A).
-    Returns (B,) int32. NOT differentiable."""
+    w: (K, F, A) stacked head kernel (models/heads.py layout); b: (K, A).
+    Returns (B,) int32 (+ the (B,) max weighted sum if ``with_max``).
+    NOT differentiable."""
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))  # see fused_linear_argmax
     B, F = h.shape
-    _, K, A = w.shape
+    K, _, A = w.shape
     blk = _block(A, B * K)
     grid = pl.cdiv(A, blk)
     # No w/b padding — see fused_linear_argmax.
     kern = functools.partial(_wargmax_kernel, block=blk, K=K, prec=precision)
-    out = pl.pallas_call(
+    out, mx = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, K, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, F, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((B, 1), jnp.float32),
             pltpu.VMEM((B, 1), jnp.int32),
@@ -184,10 +206,13 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
         jnp.asarray(valid_dim, jnp.int32).reshape(1, 1),
         h.astype(jnp.float32),
         w,
-        b.reshape(1, K, A),
+        b,
         jnp.asarray(q_weights, jnp.float32).reshape(1, K),
     )
-    return jax.lax.stop_gradient(out[:, 0])
+    out = jax.lax.stop_gradient(out[:, 0])
+    if with_max:
+        return out, jax.lax.stop_gradient(mx[:, 0])
+    return out
 
 
 def row_logit(h, w, b, idx):
@@ -199,8 +224,8 @@ def row_logit(h, w, b, idx):
 
 
 def multihead_row_logit(h, w, b, idx):
-    """One logit per row per head: (B, F) x (F, K, A) -> (B, K) at idx[i]
+    """One logit per row per head: (B, F) x (K, F, A) -> (B, K) at idx[i]
     (the lean ``gather_from_3d`` — no (B, K, A) materialization).
     Differentiable in h, w, b."""
-    w_cols = jnp.take(w, idx, axis=2)  # (F, K, B)
-    return jnp.einsum("bf,fkb->bk", h, w_cols) + jnp.take(b, idx, axis=1).T
+    w_cols = jnp.take(w, idx, axis=2)  # (K, F, B)
+    return jnp.einsum("bf,kfb->bk", h, w_cols) + jnp.take(b, idx, axis=1).T

@@ -168,13 +168,13 @@ def blockwise_head_topk_ce(
 
 def blockwise_multihead_max(
     h: jax.Array,  # (B, F)
-    kernel: jax.Array,  # (F, K, A_pad) stacked head kernel (heads.py layout)
+    kernel: jax.Array,  # (K, F, A_pad) stacked head kernel (heads.py layout)
     bias: jax.Array,  # (K, A_pad)
     action_dim: int,
     block_cols: int = DEFAULT_BLOCK_COLS,
     precision: str | None = None,
 ) -> jax.Array:
-    """max_a (h @ kernel[:,k,:] + bias[k])[.., :action_dim] per head ->
+    """max_a (h @ kernel[k] + bias[k])[.., :action_dim] per head ->
     (B, K), never materializing (B, K, A). SARM's self-bootstrapped target
     (``max over outs_next``, reference ``sarm.py:143-146``) needs exactly
     this. Forward-only: inputs are stop-gradiented (targets sit under
@@ -190,41 +190,34 @@ def blockwise_multihead_max(
     mm_prec = prec_map[precision]
     h, kernel, bias = map(jax.lax.stop_gradient, (h, kernel, bias))
     B, F = h.shape
-    _, K, A_pad = kernel.shape
+    K, _, A_pad = kernel.shape
     block_cols = min(block_cols, A_pad)
     n_blocks = -(-A_pad // block_cols)
     pad_to = n_blocks * block_cols
     if pad_to != A_pad:
         kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_to - A_pad)))
         bias = jnp.pad(bias, ((0, 0), (0, pad_to - A_pad)))
-    # (F, K, A) -> (F, K*A) so each block is ONE plain MXU matmul
-    kflat = kernel.reshape(F, -1)
 
     def body(m, j):
         start = j * block_cols
         cols = start + jnp.arange(block_cols, dtype=jnp.int32)
-        blk = jnp.stack(
-            [
-                jax.lax.dynamic_slice(
-                    kflat, (0, k * pad_to + start), (F, block_cols)
-                )
-                for k in range(K)
-            ],
-            axis=1,
-        )  # (F, K, W)
-        bb = jax.lax.dynamic_slice(bias, (0, start), (K, block_cols))
-        logits = (
-            jnp.dot(
-                h,
-                blk.reshape(F, K * block_cols),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec,
-            ).reshape(B, K, block_cols)
-            + bb[None]
-        )
         ok = (cols < action_dim) & (cols < A_pad)
-        logits = jnp.where(ok[None, None, :], logits, _NEG)
-        return jnp.maximum(m, jnp.max(logits, axis=2)), None
+        outs = []
+        for k in range(K):  # K <= 5, static unroll of plain MXU matmuls
+            kb = jax.lax.dynamic_slice(
+                kernel, (k, 0, start), (1, F, block_cols)
+            )[0]
+            bb = jax.lax.dynamic_slice(bias, (k, start), (1, block_cols))[0]
+            logits = (
+                jnp.dot(
+                    h, kb, preferred_element_type=jnp.float32,
+                    precision=mm_prec,
+                )
+                + bb
+            )
+            logits = jnp.where(ok[None, :], logits, _NEG)
+            outs.append(jnp.max(logits, axis=1))
+        return jnp.maximum(m, jnp.stack(outs, axis=1)), None
 
     init = jnp.full((B, K), _NEG, jnp.float32)
     m, _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
@@ -239,7 +232,7 @@ def eval_head(params: Dict, model_cfg, head_idx: int) -> Tuple[jax.Array, jax.Ar
     fam = model_cfg.family
     if fam == "sarm":
         mh = params["q_heads"]
-        return mh["kernel"][:, head_idx, :], mh["bias"][head_idx]
+        return mh["kernel"][head_idx], mh["bias"][head_idx]
     if head_idx == 0:
         return params["sup_head"]["kernel"], params["sup_head"]["bias"]
     if fam == "sqn" and head_idx == 1:

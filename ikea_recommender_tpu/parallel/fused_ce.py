@@ -106,6 +106,13 @@ def _vjp_bwd(mesh, valid_dim, data_axis, precision, res, ct):
         dh_s, dw, db = _bwd_call(
             h_l, w_l, b_l, loc_labels, lse_l, ct_l, local_valid, precision
         )
+        if data_axis is not None:
+            # each data shard computed only its rows' contribution to the
+            # (replicated-over-data) head gradient — sum them. Without this
+            # the P(None, MODEL_AXIS) out_spec silently treated the partial
+            # dW/db as already replicated across the data axis.
+            dw = jax.lax.psum(dw, data_axis)
+            db = jax.lax.psum(db, data_axis)
         return jax.lax.psum(dh_s, MODEL_AXIS), dw, db
 
     dh, dw, db = shard_map(

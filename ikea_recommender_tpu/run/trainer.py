@@ -294,16 +294,15 @@ def train(
     )
 
     # ---- model / step / protocol ---------------------------------------
-    # Under a mesh: pad vocab rows / action dims to the model-axis multiple
-    # and disable the single-chip Pallas kernels (XLA cannot partition a
-    # custom call; the sharded flash-CE kernel is the mesh-aware variant).
+    # Under a mesh: pad vocab rows / action dims to the model-axis multiple.
+    # The fused kernels stay ON — XLA cannot partition a Pallas custom
+    # call, so the steps run the ACTION-SHARDED variants (per-shard kernels
+    # under shard_map + O(B) collective merges, parallel/{fused_ce,
+    # q_kernels}.py) whenever a mesh is passed (round-2 disabled all fused
+    # kernels here and Q-families paid dense (B, K, A) logits on a mesh).
     model_cfg = model_config_from_train(
         t_cfg, d_cfg, align=(p_cfg.model if mesh is not None else 1)
     )
-    if mesh is not None and model_cfg.fused_ce:
-        from dataclasses import replace as _dc_replace
-
-        model_cfg = _dc_replace(model_cfg, fused_ce=False)
     opt = make_optimizer(t_cfg.learning_rate, t_cfg.optimizer_mv_dtype)
     rl = RLStepConfig(
         gamma=t_cfg.gamma,
@@ -367,6 +366,8 @@ def train(
             out_to_in=out_to_in,
             lazy_embedding_lr=t_cfg.learning_rate if lazy else None,
             donate=True,
+            mesh=mesh,
+            data_axis=(DATA_AXIS if mesh is not None else None),
         )
 
     protocol = EvalProtocol(

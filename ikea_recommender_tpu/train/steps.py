@@ -99,12 +99,31 @@ def _ce_loss(logits: jax.Array, labels: jax.Array, valid: jax.Array) -> jax.Arra
 
 
 def _fused_sup_ce(
-    params: Dict, cfg: ModelConfig, h: jax.Array, labels: jax.Array, valid: jax.Array
+    params: Dict, cfg: ModelConfig, h: jax.Array, labels: jax.Array, valid: jax.Array,
+    mesh=None, data_axis=None,
 ) -> jax.Array:
     """Supervised CE through the fused Pallas kernel — the (B, A) sup logits
     never hit HBM (ops/fused_ce.py). Exact same masked-mean semantics as
-    ``_ce_loss`` over ``mask_pad_logits``-masked logits."""
+    ``_ce_loss`` over ``mask_pad_logits``-masked logits. With a mesh the
+    column-sharded variant runs (parallel/fused_ce.py: per-shard kernels +
+    O(B) logsumexp/label-logit merge)."""
     head = params["sup_head"]
+    if mesh is not None:
+        from ikea_recommender_tpu.parallel.fused_ce import (
+            sharded_fused_softmax_ce,
+        )
+
+        per = sharded_fused_softmax_ce(
+            h.astype(jnp.float32),
+            head["kernel"],
+            head["bias"],
+            labels,
+            mesh,
+            cfg.action_dim,
+            data_axis,
+            cfg.head_precision,
+        )
+        return _masked_mean(per, valid)
     per = fused_softmax_ce(
         h.astype(jnp.float32),
         head["kernel"],
@@ -137,6 +156,8 @@ def ce_train_step(
     batch: Dict[str, jax.Array],
     model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     rng = jax.random.fold_in(state.rng, state.step)
 
@@ -151,7 +172,8 @@ def ce_train_step(
                 deterministic=(model_cfg.backbone.dropout == 0.0),
             )
             return _fused_sup_ce(
-                params, model_cfg, h, batch["action"], batch["valid"]
+                params, model_cfg, h, batch["action"], batch["valid"],
+                mesh, data_axis,
             )
         (logits, *_rest) = apply_model(
             params,
@@ -319,6 +341,8 @@ def sqn_train_step(
     model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
     rl: RLStepConfig,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)  # main net this step
@@ -331,30 +355,53 @@ def sqn_train_step(
             # Lean path: no (B, A) logits materialize anywhere — fused CE
             # for the sup head, row gather-dots for the Q values, and the
             # blockwise argmax kernel for the target action
-            # (ops/fused_argmax.py).
+            # (ops/fused_argmax.py; with a mesh, the action-sharded
+            # variants in parallel/q_kernels.py — same kernels per shard,
+            # O(B) collective merges).
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
             sup_loss_f = _fused_sup_ce(
-                p_main, model_cfg, h, batch["action"], batch["valid"]
+                p_main, model_cfg, h, batch["action"], batch["valid"],
+                mesh, data_axis,
             )
             qh = p_main["q_head"]
-            q = row_logit(h, qh["kernel"], qh["bias"], batch["action"])
-
             h_next = jax.lax.stop_gradient(
                 apply_features(
                     p_main, model_cfg, batch["next_state"], batch["true_next_len"]
                 )
             )
-            max_a_next = fused_linear_argmax(
-                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
-                model_cfg.head_precision,
-            )
             qb = params_boot["q_head"]
             h_next_boot = apply_features(
                 params_boot, model_cfg, batch["next_state"], boot_len
             )
-            q_next_boot = jax.lax.stop_gradient(
-                row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
-            )
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.q_kernels import (
+                    sharded_linear_argmax,
+                    sharded_row_logit,
+                )
+
+                q = sharded_row_logit(
+                    h, qh["kernel"], qh["bias"], batch["action"],
+                    mesh, data_axis,
+                )
+                max_a_next = sharded_linear_argmax(
+                    h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                    mesh, data_axis, model_cfg.head_precision,
+                )
+                q_next_boot = jax.lax.stop_gradient(
+                    sharded_row_logit(
+                        h_next_boot, qb["kernel"], qb["bias"], max_a_next,
+                        mesh, data_axis,
+                    )
+                )
+            else:
+                q = row_logit(h, qh["kernel"], qh["bias"], batch["action"])
+                max_a_next = fused_linear_argmax(
+                    h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                    model_cfg.head_precision,
+                )
+                q_next_boot = jax.lax.stop_gradient(
+                    row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
+                )
         else:
             sup, q_out = apply_model(
                 p_main, model_cfg, batch["state"], batch["true_len"]
@@ -402,6 +449,8 @@ def smorl_train_step(
     div_embedding: jax.Array,  # (V_in, E) frozen pretrained embedding
     unpopular_mask: jax.Array,  # (A,) bool
     out_to_in: Optional[jax.Array] = None,  # (A,) output->input remap
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)
@@ -425,46 +474,74 @@ def smorl_train_step(
             # (ops/fused_argmax.py).
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
             sup_loss = _fused_sup_ce(
-                p_main, model_cfg, h, batch["action"], batch["valid"]
+                p_main, model_cfg, h, batch["action"], batch["valid"],
+                mesh, data_axis,
             )
+            sh = p_main["sup_head"]
             top_i = None
-            if k_need:
-                from ikea_recommender_tpu.ops.fused_topk import (
-                    blockwise_head_topk_ce,
-                )
-
-                sh = p_main["sup_head"]
-                _, top_i, _ = blockwise_head_topk_ce(
-                    jax.lax.stop_gradient(h.astype(jnp.float32)),
-                    jax.lax.stop_gradient(sh["kernel"]),
-                    jax.lax.stop_gradient(sh["bias"]),
-                    k_need,
-                    model_cfg.action_dim,
-                    precision=model_cfg.head_precision,
-                )
             qh = p_main["q_heads"]
-            q = multihead_row_logit(
-                h, qh["kernel"], qh["bias"], batch["action"]
-            )  # (B, K)
-
             h_next = jax.lax.stop_gradient(
                 apply_features(
                     p_main, model_cfg, batch["next_state"], batch["true_next_len"]
                 )
             )
-            max_a_next = fused_weighted_multihead_argmax(
-                h_next, qh["kernel"], qh["bias"], w, model_cfg.action_dim,
-                model_cfg.head_precision,
-            )
             qb = params_boot["q_heads"]
             h_next_boot = apply_features(
                 params_boot, model_cfg, batch["next_state"], boot_len
             )
-            q_next_boot = jax.lax.stop_gradient(
-                multihead_row_logit(
-                    h_next_boot, qb["kernel"], qb["bias"], max_a_next
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.q_kernels import (
+                    sharded_multihead_row_logit,
+                    sharded_sup_topk,
+                    sharded_weighted_multihead_argmax,
                 )
-            )  # (B, K)
+
+                if k_need:
+                    top_i = sharded_sup_topk(
+                        h, sh["kernel"], sh["bias"], k_need,
+                        model_cfg.action_dim, mesh, data_axis,
+                    )
+                q = sharded_multihead_row_logit(
+                    h, qh["kernel"], qh["bias"], batch["action"],
+                    mesh, data_axis,
+                )  # (B, K)
+                max_a_next = sharded_weighted_multihead_argmax(
+                    h_next, qh["kernel"], qh["bias"], w,
+                    model_cfg.action_dim, mesh, data_axis,
+                    model_cfg.head_precision,
+                )
+                q_next_boot = jax.lax.stop_gradient(
+                    sharded_multihead_row_logit(
+                        h_next_boot, qb["kernel"], qb["bias"], max_a_next,
+                        mesh, data_axis,
+                    )
+                )  # (B, K)
+            else:
+                if k_need:
+                    from ikea_recommender_tpu.ops.fused_topk import (
+                        blockwise_head_topk_ce,
+                    )
+
+                    _, top_i, _ = blockwise_head_topk_ce(
+                        jax.lax.stop_gradient(h.astype(jnp.float32)),
+                        jax.lax.stop_gradient(sh["kernel"]),
+                        jax.lax.stop_gradient(sh["bias"]),
+                        k_need,
+                        model_cfg.action_dim,
+                        precision=model_cfg.head_precision,
+                    )
+                q = multihead_row_logit(
+                    h, qh["kernel"], qh["bias"], batch["action"]
+                )  # (B, K)
+                max_a_next = fused_weighted_multihead_argmax(
+                    h_next, qh["kernel"], qh["bias"], w, model_cfg.action_dim,
+                    model_cfg.head_precision,
+                )
+                q_next_boot = jax.lax.stop_gradient(
+                    multihead_row_logit(
+                        h_next_boot, qb["kernel"], qb["bias"], max_a_next
+                    )
+                )  # (B, K)
         else:
             sup, q_all = apply_model(
                 p_main, model_cfg, batch["state"], batch["true_len"]
@@ -538,6 +615,8 @@ def sarm_train_step(
     model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
     rl: RLStepConfig,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     not_end = 1.0 - batch["is_end"].astype(jnp.float32)
 
@@ -546,34 +625,64 @@ def sarm_train_step(
             # Lean path: no (B, 5, A) logits materialize — fused CE on
             # head 0, row gather-dots for Q(s, a), and a blockwise per-head
             # max for the self-bootstrapped targets (honest A/B at the
-            # RetailRocket point: 15.6ms -> see BENCH_DETAIL.md).
-            from ikea_recommender_tpu.ops.fused_topk import (
-                blockwise_multihead_max,
-            )
-
+            # RetailRocket point: 15.6ms -> see BENCH_DETAIL.md). Under a
+            # mesh, the action-sharded variants (parallel/q_kernels.py).
             h = apply_features(params, model_cfg, batch["state"], batch["true_len"])
             qh = params["q_heads"]
-            per = fused_softmax_ce(
-                h.astype(jnp.float32),
-                qh["kernel"][:, 0, :],
-                qh["bias"][0],
-                batch["action"],
-                model_cfg.action_dim,
-                model_cfg.head_precision,
-            )
-            sup_loss = _masked_mean(per, batch["valid"])
-            q = multihead_row_logit(
-                h, qh["kernel"], qh["bias"], batch["action"]
-            )  # (B, 5)
             h_next = jax.lax.stop_gradient(
                 apply_features(
                     params, model_cfg, batch["next_state"], batch["true_next_len"]
                 )
             )
-            q_next = blockwise_multihead_max(
-                h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
-                precision=model_cfg.head_precision,
-            )  # (B, 5)
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.fused_ce import (
+                    sharded_fused_softmax_ce,
+                )
+                from ikea_recommender_tpu.parallel.q_kernels import (
+                    sharded_multihead_max,
+                    sharded_multihead_row_logit,
+                )
+
+                per = sharded_fused_softmax_ce(
+                    h.astype(jnp.float32),
+                    qh["kernel"][0],
+                    qh["bias"][0],
+                    batch["action"],
+                    mesh,
+                    model_cfg.action_dim,
+                    data_axis,
+                    model_cfg.head_precision,
+                )
+                sup_loss = _masked_mean(per, batch["valid"])
+                q = sharded_multihead_row_logit(
+                    h, qh["kernel"], qh["bias"], batch["action"],
+                    mesh, data_axis,
+                )  # (B, 5)
+                q_next = sharded_multihead_max(
+                    h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                    mesh, data_axis, precision=model_cfg.head_precision,
+                )  # (B, 5)
+            else:
+                from ikea_recommender_tpu.ops.fused_topk import (
+                    blockwise_multihead_max,
+                )
+
+                per = fused_softmax_ce(
+                    h.astype(jnp.float32),
+                    qh["kernel"][0],
+                    qh["bias"][0],
+                    batch["action"],
+                    model_cfg.action_dim,
+                    model_cfg.head_precision,
+                )
+                sup_loss = _masked_mean(per, batch["valid"])
+                q = multihead_row_logit(
+                    h, qh["kernel"], qh["bias"], batch["action"]
+                )  # (B, 5)
+                q_next = blockwise_multihead_max(
+                    h_next, qh["kernel"], qh["bias"], model_cfg.action_dim,
+                    precision=model_cfg.head_precision,
+                )  # (B, 5)
         else:
             outs = apply_model(params, model_cfg, batch["state"], batch["true_len"])
             outs_next = apply_model(
@@ -649,11 +758,18 @@ def make_train_step(
     lazy_embedding_lr: Optional[float] = None,
     jit: bool = True,
     donate: bool = True,
+    mesh=None,
+    data_axis=None,
 ) -> TrainStep:
     """Build `step(state, batch) -> (state, metrics)` for the family.
 
     ``lazy_embedding_lr``: enable lazy embedding Adam at this learning rate
-    (state must come from make_lazy_train_state; gru4rec/bidir only)."""
+    (state must come from make_lazy_train_state; gru4rec/bidir only).
+
+    ``mesh`` + ``data_axis``: run the fused paths through the ACTION-SHARDED
+    kernels (parallel/{fused_ce,q_kernels}.py) — the head columns must be
+    sharded on the mesh's model axis and the model built with
+    ``align = model-axis size``. Only meaningful with model_cfg.fused_ce."""
     fam = model_cfg.family
     aux: Dict[str, jax.Array] = {}
     if lazy_embedding_lr is not None:
@@ -665,9 +781,13 @@ def make_train_step(
             state, batch, model_cfg, opt, lazy_embedding_lr
         )
     elif fam in ("gru4rec", "bidir_gru4rec"):
-        raw = lambda state, batch, aux: ce_train_step(state, batch, model_cfg, opt)
+        raw = lambda state, batch, aux: ce_train_step(
+            state, batch, model_cfg, opt, mesh, data_axis
+        )
     elif fam == "sqn":
-        raw = lambda state, batch, aux: sqn_train_step(state, batch, model_cfg, opt, rl)
+        raw = lambda state, batch, aux: sqn_train_step(
+            state, batch, model_cfg, opt, rl, mesh, data_axis
+        )
     elif fam == "smorl":
         if div_embedding is None or unpopular_mask is None:
             raise ValueError("SMORL needs div_embedding and unpopular_mask")
@@ -683,9 +803,13 @@ def make_train_step(
             div_embedding=aux["div_embedding"],
             unpopular_mask=aux["unpopular_mask"],
             out_to_in=aux.get("out_to_in"),
+            mesh=mesh,
+            data_axis=data_axis,
         )
     elif fam == "sarm":
-        raw = lambda state, batch, aux: sarm_train_step(state, batch, model_cfg, opt, rl)
+        raw = lambda state, batch, aux: sarm_train_step(
+            state, batch, model_cfg, opt, rl, mesh, data_axis
+        )
     else:
         raise ValueError(f"unknown family {fam}")
     return TrainStep(raw, aux, jit=jit, donate=donate)

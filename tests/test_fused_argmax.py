@@ -43,11 +43,11 @@ def test_weighted_multihead_argmax_matches_rl_ops():
     rs = np.random.RandomState(1)
     B, F, K, A, valid = 8, 8, 3, 384, 380
     h = jnp.asarray(rs.randn(B, F).astype(np.float32))
-    w = jnp.asarray(rs.randn(F, K, A).astype(np.float32))
+    w = jnp.asarray(rs.randn(K, F, A).astype(np.float32))
     b = jnp.asarray(rs.randn(K, A).astype(np.float32))
     qw = jnp.asarray([1.0, 0.5, 2.0])
     got = fused_weighted_multihead_argmax(h, w, b, qw, valid)
-    q_all = jnp.einsum("bf,fka->bka", h, w) + b  # (B, K, A)
+    q_all = jnp.einsum("bf,kfa->bka", h, w) + b  # (B, K, A)
     q_all = jnp.where(jnp.arange(A) < valid, q_all, -1e30)
     want = get_max_action(get_weighted_q_target(q_all, qw))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
@@ -81,12 +81,12 @@ def test_multihead_row_logit_matches_gather_from_3d():
     rs = np.random.RandomState(3)
     B, F, K, A = 8, 8, 3, 64
     h = jnp.asarray(rs.randn(B, F).astype(np.float32))
-    w = jnp.asarray(rs.randn(F, K, A).astype(np.float32))
+    w = jnp.asarray(rs.randn(K, F, A).astype(np.float32))
     b = jnp.asarray(rs.randn(K, A).astype(np.float32))
     idx = jnp.asarray(rs.randint(0, A, B), jnp.int32)
     from ikea_recommender_tpu.ops.fused_argmax import multihead_row_logit
 
     got = multihead_row_logit(h, w, b, idx)
-    q_all = jnp.einsum("bf,fka->bka", h, w) + b
+    q_all = jnp.einsum("bf,kfa->bka", h, w) + b
     want = gather_from_3d(q_all, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6)

@@ -182,9 +182,9 @@ def test_blockwise_multihead_max_matches_dense():
     rs = np.random.RandomState(6)
     B, F, K, A_pad, A = 8, 8, 5, 64, 57
     h = jnp.asarray(rs.randn(B, F).astype(np.float32))
-    kernel = jnp.asarray(rs.randn(F, K, A_pad).astype(np.float32))
+    kernel = jnp.asarray(rs.randn(K, F, A_pad).astype(np.float32))
     bias = jnp.asarray(rs.randn(K, A_pad).astype(np.float32))
-    dense = jnp.einsum("bf,fka->bka", h, kernel) + bias[None]
+    dense = jnp.einsum("bf,kfa->bka", h, kernel) + bias[None]
     col = jnp.arange(A_pad)
     dense = jnp.where(col[None, None, :] < A, dense, -1e30)
     want = jnp.max(dense, axis=2)
