@@ -179,6 +179,14 @@ class ParallelConfig:
     # kernel (parallel/fused_ce.py): per-shard logits never materialize.
     # Requires model > 1.
     sharded_ce: bool = False
+    # Process-sharded data path: each process uploads only ITS rows of the
+    # replay buffer (padded contiguous blocks per data shard, assembled
+    # into one global row-sharded array — core/distributed.py), and epoch
+    # sampling permutes WITHIN each data shard so batch gathers never cross
+    # shards (no inter-host traffic in the input path). None = auto: on
+    # when jax.process_count() > 1. Set True on one process to reproduce
+    # the multi-host batch composition exactly (tests do this).
+    process_sharded: Optional[bool] = None
 
     @property
     def num_devices(self) -> int:

@@ -55,12 +55,17 @@ class BestModelTracker:
         out_dir: str,
         metric_name: str,
         mode: str = "max",
+        write_files: bool = True,
     ):
+        """``write_files=False`` keeps all best-model bookkeeping but skips
+        the npz/json writes — non-zero processes of a multi-host run track
+        the (replicated) metric without racing on the filesystem."""
         if mode not in ("max", "min"):
             raise ValueError("mode must be 'max' or 'min'")
         self.out_dir = out_dir
         self.metric_name = metric_name
         self.mode = mode
+        self.write_files = write_files
         self.best = -np.inf if mode == "max" else np.inf
         self.best_epoch: Optional[int] = None
         self.best_model_idx: Optional[int] = None
@@ -91,6 +96,8 @@ class BestModelTracker:
         self.best = value
         self.best_epoch = epoch
         self.best_model_idx = model_idx
+        if not self.write_files:
+            return True
         save_params_npz(params, self.params_path)
         meta = {
             "epoch": int(epoch),

@@ -133,6 +133,115 @@ def _window_index_matrices(perm: np.ndarray, batch_size: int):
     return idx, valid
 
 
+# ---------------------------------------------------------------------------
+# process-sharded data path (multi-host; ParallelConfig.process_sharded)
+# ---------------------------------------------------------------------------
+
+
+def _device_train_data_process_sharded(buf: ReplayBuffer, mesh):
+    """Each process uploads ONLY its rows: the buffer's row space is padded
+    to ``D * per`` (D = data-axis size), split into contiguous per-shard
+    blocks in device order, and assembled into one global row-sharded array
+    (``jax.make_array_from_process_local_data`` — no cross-host traffic).
+    Returns (data dict, per-shard rows ``per``, real row count ``n``)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    D = mesh.shape[DATA_AXIS]
+    n = len(buf)
+    per = -(-n // D)
+    n_pad = per * D
+    n_proc = jax.process_count()
+    if D % n_proc:
+        raise ValueError(
+            f"data axis ({D}) must divide evenly across {n_proc} processes"
+        )
+    rows_pp = n_pad // n_proc
+    lo = jax.process_index() * rows_pp
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def shard_one(col):
+        col = np.asarray(col)
+        local = np.zeros((rows_pp,) + col.shape[1:], col.dtype)
+        take_hi = min(lo + rows_pp, n)
+        if take_hi > lo:
+            local[: take_hi - lo] = col[lo:take_hi]
+        return jax.make_array_from_process_local_data(sh, local)
+
+    cols = {
+        "state": buf.state,
+        "action": buf.action,
+        "reward": buf.reward,
+        "next_state": buf.next_state,
+        "true_len": buf.true_len,
+        "true_next_len": buf.true_next_len,
+        "is_end": buf.is_end,
+    }
+    if getattr(buf, "action_type", None) is not None:
+        cols["action_type"] = buf.action_type
+    return {k: shard_one(v) for k, v in cols.items()}, per, n
+
+
+def _replicated_global(data_np, mesh):
+    """Host arrays -> fully-replicated global device arrays (multi-host
+    safe: every process holds the full copy, so P() local == global)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return {
+        k: jax.make_array_from_process_local_data(rep, np.asarray(v))
+        for k, v in data_np.items()
+    }
+
+
+def _replicate_params(params, mesh):
+    """Sharded param tree -> fully-replicated global arrays (addressable on
+    every process, so host code can read them)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda p: p, out_shardings=jax.tree.map(lambda _: rep, params)
+    )(params)
+
+
+def _sharded_index_matrices(rng, n: int, per: int, D: int, batch_size: int):
+    """Per-data-shard epoch sampling: shard d permutes ITS ``per`` rows
+    (global rows [d*per, (d+1)*per)); each scanned batch takes B/D rows
+    from every shard, so the gather never crosses shards. Rows past the
+    real count ``n`` (block padding) are invalid.
+    -> (idx (n_b, D, B/D) SHARD-LOCAL row ids, valid (n_b, D, B/D))."""
+    Bd = batch_size // D
+    n_b = -(-per // Bd)
+    idx = np.zeros((n_b, D, Bd), dtype=np.int32)
+    valid = np.zeros((n_b, D, Bd), dtype=bool)
+    for d in range(D):
+        perm = rng.permutation(per).astype(np.int32)
+        for i in range(n_b):
+            take = perm[i * Bd : (i + 1) * Bd]
+            idx[i, d, : len(take)] = take
+            valid[i, d, : len(take)] = (d * per + take) < n
+    return idx, valid
+
+
+def _shard_gather(data, idx, mesh):
+    """Gather one batch from the row-sharded buffer with SHARD-LOCAL ids:
+    each data shard indexes only its own rows (idx row d is local to shard
+    d), so the gather is collective-free."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def local(d, i):
+        return {k: v[i[0]] for k, v in d.items()}
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )(data, idx)
+
+
 def _constrain_batch(batch, mesh):
     """Pin every batch array's leading (batch) dim to the ``data`` axis —
     this is what makes the window runner data-parallel under a mesh."""
@@ -149,7 +258,7 @@ def _constrain_replicated(tree, mesh):
     return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
 
 
-def _make_window_runner(step, protocol, family, mesh=None):
+def _make_window_runner(step, protocol, family, mesh=None, process_sharded=False):
     """One jitted dispatch per eval WINDOW: lax.scan over batches, each
     iteration gathering its batch from the device-resident buffer, running
     the optimizer step, and accumulating train metrics + loss sums. Host
@@ -164,8 +273,13 @@ def _make_window_runner(step, protocol, family, mesh=None):
         def body(carry, xs):
             state, accum, losses = carry
             idx, valid = xs
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            batch["valid"] = valid
+            if process_sharded:
+                # idx (D, B/D) shard-local; collective-free per-shard gather
+                batch = _shard_gather(data, idx, mesh)
+                batch["valid"] = valid.reshape(-1)
+            else:
+                batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+                batch["valid"] = valid
             if mesh is not None:
                 batch = _constrain_batch(batch, mesh)
             new_state, metrics = step.raw(state, batch, step_aux)
@@ -329,22 +443,41 @@ def train(
         raise ValueError(
             "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
         )
-    if family in DOUBLE_Q_FAMILIES:
-        state, _ = make_double_q_state(
-            key,
-            model_cfg,
-            t_cfg.learning_rate,
-            t_cfg.optimizer_mv_dtype,
-            single_optimizer=(t_cfg.double_q_optimizers == 1),
-        )
-    elif lazy:
-        from ikea_recommender_tpu.train.state import make_lazy_train_state
+    multiprocess = jax.process_count() > 1
+    proc_sharded = (
+        p_cfg.process_sharded
+        if p_cfg.process_sharded is not None
+        else multiprocess
+    )
+    if proc_sharded and mesh is None:
+        raise ValueError("process_sharded requires a multi-device mesh")
 
-        state, _ = make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)
-    else:
-        state, _ = make_train_state(
+    def _build_state():
+        if family in DOUBLE_Q_FAMILIES:
+            return make_double_q_state(
+                key,
+                model_cfg,
+                t_cfg.learning_rate,
+                t_cfg.optimizer_mv_dtype,
+                single_optimizer=(t_cfg.double_q_optimizers == 1),
+            )[0]
+        if lazy:
+            from ikea_recommender_tpu.train.state import make_lazy_train_state
+
+            return make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)[0]
+        return make_train_state(
             key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
-        )
+        )[0]
+
+    if multiprocess:
+        # multi-host-safe init: every process runs the same deterministic
+        # jitted initializer with mesh out-shardings (device_put of host
+        # arrays cannot produce cross-process global arrays).
+        from ikea_recommender_tpu.parallel.sharding import init_sharded_state
+
+        state = init_sharded_state(_build_state, mesh)
+    else:
+        state = _build_state()
     if p_cfg.sharded_ce:
         if family not in ("gru4rec", "bidir_gru4rec"):
             raise ValueError("sharded_ce supports gru4rec/bidir_gru4rec only")
@@ -389,7 +522,10 @@ def train(
     )
 
     tracker = BestModelTracker(
-        cfg.exp_dir, metric_name=t_cfg.best_model_metric, mode=t_cfg.best_model_mode
+        cfg.exp_dir,
+        metric_name=t_cfg.best_model_metric,
+        mode=t_cfg.best_model_mode,
+        write_files=(jax.process_index() == 0),
     )
     dims = {
         "hidden_dim": t_cfg.hidden_state_size,
@@ -402,6 +538,10 @@ def train(
     ckpt_mngr = None
     start_epoch = 0
     if t_cfg.checkpoint_dir:
+        if multiprocess:
+            raise NotImplementedError(
+                "checkpoint/resume is not yet wired for multi-process runs"
+            )
         ckpt_mngr = CheckpointManager(t_cfg.checkpoint_dir)
         if t_cfg.resume:
             restored = ckpt_mngr.restore(state)
@@ -410,30 +550,48 @@ def train(
                 start_epoch = int(ckpt_mngr.latest_step())
                 print(f"[resume] restored checkpoint, continuing at epoch {start_epoch}")
 
-    if mesh is not None:
+    if mesh is not None and not multiprocess:
         from ikea_recommender_tpu.parallel.sharding import shard_state
 
         state = shard_state(state, mesh)
 
     # ---- device-resident data + window runner ---------------------------
-    train_data = _device_train_data(train_buf)
-    val_data = EvalProtocol.device_eval_data(val_buf)
-    test_data = (
-        EvalProtocol.device_eval_data(test_buf) if real_test else val_data
-    )
-    if mesh is not None:
-        # Buffers live replicated on the mesh (single-process path; the
-        # multi-host path loads per-process shards — core/distributed.py).
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        rep = NamedSharding(mesh, P())
-        train_data = jax.device_put(train_data, rep)
-        val_data = jax.device_put(val_data, rep)
+    shard_rows = None  # (per-shard rows, real rows) under process_sharded
+    if proc_sharded:
+        # each process uploads only its rows; epoch sampling is per-shard
+        train_data, per_rows, n_real = _device_train_data_process_sharded(
+            train_buf, mesh
+        )
+        shard_rows = (per_rows, n_real)
+        val_np = {k: np.asarray(v) for k, v in
+                  EvalProtocol.device_eval_data(val_buf).items()}
+        val_data = _replicated_global(val_np, mesh)
         if real_test:
-            test_data = jax.device_put(test_data, rep)
+            test_np = {k: np.asarray(v) for k, v in
+                       EvalProtocol.device_eval_data(test_buf).items()}
+            test_data = _replicated_global(test_np, mesh)
         else:
             test_data = val_data
-    run_window = _make_window_runner(step_fn, protocol, family, mesh=mesh)
+    else:
+        train_data = _device_train_data(train_buf)
+        val_data = EvalProtocol.device_eval_data(val_buf)
+        test_data = (
+            EvalProtocol.device_eval_data(test_buf) if real_test else val_data
+        )
+        if mesh is not None:
+            # single-process mesh: buffers live replicated on the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            train_data = jax.device_put(train_data, rep)
+            val_data = jax.device_put(val_data, rep)
+            if real_test:
+                test_data = jax.device_put(test_data, rep)
+            else:
+                test_data = val_data
+    run_window = _make_window_runner(
+        step_fn, protocol, family, mesh=mesh, process_sharded=proc_sharded
+    )
 
     # ---- warmup eval (reference does one pre-training eval; logged here
     # under Pretrain_ keys rather than discarded) --------------------------
@@ -450,19 +608,34 @@ def train(
     if log_fn is not None:
         log_fn(pretrain_metrics, 0)
 
-    n_b = num_batches(len(train_buf), t_cfg.batch_size)
+    if proc_sharded:
+        D = mesh.shape[DATA_AXIS]
+        n_b = -(-shard_rows[0] // (t_cfg.batch_size // D))
+    else:
+        n_b = num_batches(len(train_buf), t_cfg.batch_size)
     boundaries = sorted({int(n_b * p) for p in t_cfg.eval_at} - {0})
 
     logs: List[Dict[str, float]] = []
     log_counter = 0
     total_sessions = 0
     train_time = 0.0
+    best_live = None  # multiprocess: in-memory replicated best params
 
     for epoch in range(start_epoch, t_cfg.epochs):
         rng = np.random.default_rng(cfg.seed * 100_003 + epoch)
-        idx_all, valid_all = _window_index_matrices(
-            rng.permutation(len(train_buf)).astype(np.int32), t_cfg.batch_size
-        )
+        if proc_sharded:
+            idx_all, valid_all = _sharded_index_matrices(
+                rng,
+                shard_rows[1],
+                shard_rows[0],
+                mesh.shape[DATA_AXIS],
+                t_cfg.batch_size,
+            )
+        else:
+            idx_all, valid_all = _window_index_matrices(
+                rng.permutation(len(train_buf)).astype(np.int32),
+                t_cfg.batch_size,
+            )
         train_accum = protocol.init_accum()
         losses = _zero_losses()
 
@@ -546,7 +719,17 @@ def train(
                     (log_dict.get(f"Sec_{metric_name}", -np.inf), 2, nets[1])
                 )
             value, model_idx, winner = max(candidates, key=lambda c: c[0])
-            tracker(value, epoch=log_counter, params=winner, model_idx=model_idx, dims=dims)
+            if multiprocess:
+                # model-sharded leaves are not process-addressable: gather
+                # a replicated copy (every process) so process 0 can write
+                # it and ALL processes keep the live best for the final
+                # test eval (no shared filesystem assumed).
+                winner = _replicate_params(winner, mesh)
+            if tracker(
+                value, epoch=log_counter, params=winner,
+                model_idx=model_idx, dims=dims,
+            ) and multiprocess:
+                best_live = winner
 
             logs.append(log_dict)
             if log_fn is not None:
@@ -566,7 +749,11 @@ def train(
 
     # ---- test with the reloaded best model ------------------------------
     template = _eval_params_list(state, family)[0]
-    if os.path.exists(tracker.params_path):
+    if multiprocess:
+        best_params = best_live if best_live is not None else _replicate_params(
+            template, mesh
+        )
+    elif os.path.exists(tracker.params_path):
         best_params = tracker.load_best(template)
     else:
         best_params = template
@@ -587,10 +774,11 @@ def train(
         )
     if log_fn is not None:
         log_fn(test_metrics, log_counter)
-    with open(os.path.join(cfg.exp_dir, "test_metrics.json"), "w") as fh:
-        json.dump(test_metrics, fh, indent=2)
+    if jax.process_index() == 0:
+        with open(os.path.join(cfg.exp_dir, "test_metrics.json"), "w") as fh:
+            json.dump(test_metrics, fh, indent=2)
 
-    if cfg.experiment.save_pretrained_embeddings:
+    if cfg.experiment.save_pretrained_embeddings and jax.process_index() == 0:
         np.save(
             os.path.join(cfg.exp_dir, "embedding_weights.npy"),
             np.asarray(best_params["backbone"]["embedding"]),

@@ -97,3 +97,78 @@ def test_two_process_sharded_step_matches_single_process(tmp_path):
     ref_loss, ref_emb = _single_process_reference()
     np.testing.assert_allclose(results[0]["sup_loss"], ref_loss, rtol=1e-4)
     np.testing.assert_allclose(results[0]["emb_sum"], ref_emb, rtol=1e-4)
+
+
+_TRAINER_WORKER = os.path.join(_REPO, "tests", "_trainer_distributed_worker.py")
+
+
+def _single_process_trainer_reference():
+    """Same config through run.trainer.train on the in-process backend with
+    the SAME process-sharded sampling semantics (one process holding all
+    four data shards)."""
+    import importlib.util
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location("_tw", _TRAINER_WORKER)
+    tw = importlib.util.module_from_spec(spec)
+    # stop the module body from re-initializing jax.distributed
+    sys.argv_backup = sys.argv
+    src = open(_TRAINER_WORKER).read()
+    src = src.replace("coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])", "coordinator, nprocs, pid = None, 1, 0")
+    src = src.replace("jax.distributed.initialize(\n    coordinator_address=coordinator, num_processes=nprocs, process_id=pid\n)", "")
+    exec(compile(src, _TRAINER_WORKER, "exec"), tw.__dict__)
+
+    from ikea_recommender_tpu.data.synthetic import synthetic_buffers
+    from ikea_recommender_tpu.run.trainer import train
+
+    train_buf, _ = synthetic_buffers(num_sessions=30, num_items=32, state_len=6, seed=1)
+    _, val_buf = synthetic_buffers(num_sessions=10, num_items=32, state_len=6, seed=2)
+    with tempfile.TemporaryDirectory() as tmp:
+        out = train(tw.build_config(tmp), train_buf=train_buf, val_buf=val_buf)
+    return float(out.best_metric), float(
+        out.test_metrics.get("Best_Val_NDCG@10", -1.0)
+    )
+
+
+def test_two_process_trainer_matches_single_process(tmp_path):
+    """VERDICT r2 item 4: the PRODUCT surface (config -> run.trainer.train)
+    runs multi-process — per-process buffer shards, shard-local sampling,
+    multi-host-safe state init, replicated best-model tracking — and its
+    metrics match a single-process run with identical sampling semantics."""
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _TRAINER_WORKER, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"trainer worker failed:\n{out}"
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                rec = json.loads(line[len("RESULT "):])
+                results[rec["pid"]] = rec
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+
+    # both processes report identical (replicated) metrics
+    np.testing.assert_allclose(results[0]["best"], results[1]["best"], rtol=1e-6)
+    np.testing.assert_allclose(
+        results[0]["test_ndcg"], results[1]["test_ndcg"], rtol=1e-6
+    )
+
+    ref_best, ref_test = _single_process_trainer_reference()
+    np.testing.assert_allclose(results[0]["best"], ref_best, rtol=1e-4)
+    np.testing.assert_allclose(results[0]["test_ndcg"], ref_test, rtol=1e-4)
