@@ -59,6 +59,11 @@ class DataConfig:
     input_tokenizer: Optional[str] = None
     output_tokenizer: Optional[str] = None
     market_tokenizer: Optional[str] = None
+    # Column names used when val/test paths point at RAW session files
+    # (windowed in memory — reference ``evaluate/eval_dataset.py:6-77``)
+    # rather than prebuilt eval buffers.
+    session_col: str = "session_id"
+    item_col: str = "item_id"
 
     def __post_init__(self) -> None:
         if self.num_actions == 0:

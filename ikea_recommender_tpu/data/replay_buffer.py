@@ -217,6 +217,48 @@ class EvalBuffer:
         return len(self.action)
 
 
+def load_eval_source(
+    path: str,
+    *,
+    padding_id: int,
+    state_len: int,
+    pad_pos: str = "end",
+    session_col: str = "session_id",
+    item_col: str = "item_id",
+) -> EvalBuffer:
+    """Eval data from EITHER a prebuilt eval buffer OR a raw session file.
+
+    The reference's ``evaluate/eval_dataset.py:6-77`` transforms a raw
+    val/test session file (session id + item columns) into eval windows on
+    the fly; this detects the source by its columns — a prebuilt buffer has
+    a ``state`` column / array, a raw file doesn't — and windows raw files
+    in memory with ``preprocess_val_data``."""
+    from ikea_recommender_tpu.data.preprocessing import (
+        _read_frame,
+        preprocess_val_data,
+    )
+
+    if path.endswith(".npz"):
+        return EvalBuffer(path)  # prebuilt columnar buffer
+    df = _read_frame(path)
+    if "state" in df.columns:
+        return EvalBuffer(path)  # prebuilt dataframe-shaped buffer
+    if session_col not in df.columns or item_col not in df.columns:
+        raise ValueError(
+            f"{path}: neither a prebuilt eval buffer (no 'state' column) "
+            f"nor a raw session file (missing {session_col!r}/{item_col!r})"
+        )
+    win = preprocess_val_data(
+        df,
+        padding_id=padding_id,
+        state_len=state_len,
+        pad_pos=pad_pos,
+        session_id_name=session_col,
+        action_name=item_col,
+    )
+    return EvalBuffer.from_dataframe(win)
+
+
 def _pad_take(arr: np.ndarray, idx: np.ndarray, batch_size: int) -> np.ndarray:
     """Take rows `idx`, then tile the first row to fill up to batch_size."""
     out = arr[idx]

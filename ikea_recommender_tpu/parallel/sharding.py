@@ -57,6 +57,9 @@ def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
     if "embedding" in joined:
         # (V+1, E): shard vocab rows.
         return guarded([None] * (rank - 2) + [MODEL_AXIS, None])
+    if name == "mv" and "emb" in joined:
+        # lazy-Adam packed (V+1, 2E) embedding moments: rows follow the table
+        return guarded([None] * (rank - 2) + [MODEL_AXIS, None])
     if "sup_head" in joined or "q_head" in joined or "q_heads" in joined:
         if name in ("kernel", "bias"):
             # trailing dim is the action dim in every head layout
@@ -72,8 +75,16 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
     structure), so the same name+rank rule applies.
     """
 
+    def _k(p):
+        # DictKey -> .key, GetAttrKey (dataclass fields) -> .name,
+        # SequenceKey (tuples) -> .idx
+        for attr in ("key", "name", "idx"):
+            if hasattr(p, attr):
+                return str(getattr(p, attr))
+        return str(p)
+
     def one(path, leaf):
-        keys = [str(p.key) if hasattr(p, "key") else str(getattr(p, "idx", p)) for p in path]
+        keys = [_k(p) for p in path]
         if np.ndim(leaf) == 0 or (hasattr(leaf, "dtype") and "key" in str(leaf.dtype)):
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, _spec_for(keys, leaf, mesh))

@@ -47,6 +47,7 @@ from ikea_recommender_tpu.data.item_frequency import (
 from ikea_recommender_tpu.data.replay_buffer import (
     EvalBuffer,
     ReplayBuffer,
+    load_eval_source,
     num_batches,
 )
 from ikea_recommender_tpu.data.tokenizer import Tokenizer, build_output_to_input_table
@@ -368,8 +369,6 @@ def train(
                 "batch_size and val_batch_size must divide the data axis "
                 f"({p_cfg.data})"
             )
-        if t_cfg.optimizer == "lazy_adam":
-            raise ValueError("optimizer='lazy_adam' is single-device only")
         mesh = make_mesh(MeshSpec(data=p_cfg.data, model=p_cfg.model))
     elif p_cfg.sharded_ce:
         raise ValueError("sharded_ce requires a multi-device mesh")
@@ -377,11 +376,22 @@ def train(
     # ---- data -----------------------------------------------------------
     if train_buf is None:
         train_buf = ReplayBuffer(d_cfg.train_path)
+    _eval_src = dict(
+        padding_id=cfg.padding_id,
+        state_len=t_cfg.state_size,
+        pad_pos=t_cfg.padding_position,
+        session_col=d_cfg.session_col,
+        item_col=d_cfg.item_col,
+    )
     if val_buf is None:
-        val_buf = EvalBuffer(d_cfg.val_path)
+        # prebuilt buffer OR raw session file windowed in memory
+        # (reference evaluate/eval_dataset.py)
+        val_buf = load_eval_source(d_cfg.val_path, **_eval_src)
     real_test = bool(d_cfg.test_path) and d_cfg.test_path != d_cfg.val_path
     if test_buf is None:
-        test_buf = EvalBuffer(d_cfg.test_path) if real_test else val_buf
+        test_buf = (
+            load_eval_source(d_cfg.test_path, **_eval_src) if real_test else val_buf
+        )
 
     if input_tokenizer is None and d_cfg.input_tokenizer:
         input_tokenizer = Tokenizer.from_file(d_cfg.input_tokenizer)

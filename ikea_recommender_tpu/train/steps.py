@@ -201,6 +201,8 @@ def ce_train_step_lazy(
     model_cfg: ModelConfig,
     opt: optax.GradientTransformation,
     lr: float,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """CE step with lazy embedding Adam (TrainConfig.optimizer='lazy_adam'):
     the table gather runs outside autodiff so the embedding cotangent stays
@@ -223,7 +225,8 @@ def ce_train_step_lazy(
         )
         if model_cfg.fused_ce:
             return _fused_sup_ce(
-                params, model_cfg, h, batch["action"], batch["valid"]
+                params, model_cfg, h, batch["action"], batch["valid"],
+                mesh, data_axis,
             )
         logits = mask_pad_logits(
             model_cfg, linear_apply(params["sup_head"], h)
@@ -778,7 +781,7 @@ def make_train_step(
                 "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
             )
         raw = lambda state, batch, aux: ce_train_step_lazy(
-            state, batch, model_cfg, opt, lazy_embedding_lr
+            state, batch, model_cfg, opt, lazy_embedding_lr, mesh, data_axis
         )
     elif fam in ("gru4rec", "bidir_gru4rec"):
         raw = lambda state, batch, aux: ce_train_step(

@@ -120,3 +120,34 @@ def test_resume_from_checkpoint(tmp_path):
     cfg2 = _cfg(tmp_path, epochs=2, checkpoint_dir=ckpt_dir, resume=True)
     out2 = train(cfg2, train_buf=train_buf, val_buf=val_buf)
     assert np.isfinite(out2.best_metric)
+
+
+def test_raw_val_file_eval_path(tmp_path):
+    """val_path may point at a RAW session file (reference
+    evaluate/eval_dataset.py): the trainer windows it in memory and the
+    metrics equal a run on the equivalent prebuilt eval buffer."""
+    import pandas as pd
+
+    from ikea_recommender_tpu.data.preprocessing import preprocess_val_data
+    from ikea_recommender_tpu.data.replay_buffer import EvalBuffer
+
+    train_buf, _ = _buffers()
+    rs = np.random.RandomState(5)
+    rows = []
+    for s in range(30):
+        for item in rs.randint(0, A, size=rs.randint(2, 8)):
+            rows.append((s, int(item)))
+    raw = pd.DataFrame(rows, columns=["session_id", "item_id"])
+    raw_path = str(tmp_path / "raw_val.df")
+    raw.to_pickle(raw_path)
+
+    cfg_raw = _cfg(tmp_path / "raw", epochs=1)
+    cfg_raw.data.val_path = raw_path
+    out_raw = train(cfg_raw, train_buf=train_buf)
+
+    win = preprocess_val_data(raw, padding_id=A, state_len=6, pad_pos="end")
+    cfg_buf = _cfg(tmp_path / "buf", epochs=1)
+    out_buf = train(
+        cfg_buf, train_buf=train_buf, val_buf=EvalBuffer.from_dataframe(win)
+    )
+    assert out_raw.test_metrics == out_buf.test_metrics

@@ -219,3 +219,57 @@ def test_lazy_resume_from_checkpoint(tmp_path):
     train(cfg(1, False), train_buf=train_buf, val_buf=val_buf)
     out = train(cfg(2, True), train_buf=train_buf, val_buf=val_buf)
     assert np.isfinite(out.best_metric)
+
+
+def test_lazy_adam_trains_on_mesh():
+    """Lazy embedding Adam under a (data, model) mesh — its own payoff
+    regime (model-sharded tables; the round-2 trainer refused this). The
+    mesh trajectory must match the single-device lazy trajectory."""
+    import numpy as np
+    from dataclasses import replace as dc_replace
+
+    from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
+    from ikea_recommender_tpu.core.mesh import DATA_AXIS, MeshSpec, make_mesh
+    from ikea_recommender_tpu.models.families import model_config_from_train
+    from ikea_recommender_tpu.parallel.sharding import shard_state
+    from ikea_recommender_tpu.train.state import make_lazy_train_state, make_optimizer
+    from ikea_recommender_tpu.train.steps import RLStepConfig, make_train_step
+
+    A, B, T = 57, 16, 5
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    tc = TrainConfig(model="gru4rec", embedding_size=8, hidden_state_size=8,
+                     state_size=T, optimizer="lazy_adam")
+    mc = model_config_from_train(tc, DataConfig(num_items=A), align=4)
+    opt = make_optimizer(0.05)
+    state, _ = make_lazy_train_state(jax.random.key(0), mc, 0.05)
+    rs = np.random.RandomState(3)
+    batch = {
+        "state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+        "action": jnp.asarray(rs.randint(0, A, (B,)), jnp.int32),
+        "reward": jnp.asarray(rs.rand(B).astype(np.float32)),
+        "next_state": jnp.asarray(rs.randint(0, A, (B, T)), jnp.int32),
+        "true_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+        "true_next_len": jnp.asarray(rs.randint(1, T + 1, (B,)), jnp.int32),
+        "is_end": jnp.asarray(rs.rand(B) < 0.2),
+        "valid": jnp.ones((B,), bool),
+    }
+    plain = make_train_step(mc, opt, RLStepConfig(), lazy_embedding_lr=0.05,
+                            donate=False)
+    s1, m1 = plain(state, batch)
+
+    sharded_step = make_train_step(mc, opt, RLStepConfig(),
+                                   lazy_embedding_lr=0.05, donate=False,
+                                   jit=False, mesh=mesh, data_axis=DATA_AXIS)
+    s_sh = shard_state(state, mesh)
+    # the mv moments must actually land row-sharded on the model axis
+    from ikea_recommender_tpu.core.mesh import MODEL_AXIS
+    assert MODEL_AXIS in tuple(s_sh.opt_state["emb"].mv.sharding.spec)
+    s2, m2 = jax.jit(sharded_step.raw)(s_sh, batch, sharded_step.aux)
+
+    np.testing.assert_allclose(float(m1["sup_loss"]), float(m2["sup_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["backbone"]["embedding"]),
+        np.asarray(s2.params["backbone"]["embedding"]),
+        atol=2e-5,
+    )
