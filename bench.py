@@ -137,13 +137,27 @@ def _timed_readback(fn, *args, trials):
 
 def measure(step, state, batch, k1=4, k2=32, trials=4):
     """Honest steps/s via in-jit scan + readback differencing (see module
-    docstring). Returns steps per second."""
-    f1 = _scan_loop(step, k1)
-    f2 = _scan_loop(step, k2)
-    t1 = _timed_readback(f1, state, batch, step.aux, trials=trials)
-    t2 = _timed_readback(f2, state, batch, step.aux, trials=trials)
-    per_step = (t2 - t1) / (k2 - k1)
-    return 1.0 / per_step
+    docstring). Returns steps per second.
+
+    Tunnel latency jitter is tens of ms; if the K2-K1 compute delta does not
+    clearly dominate it (t2 not comfortably above t1, or a negative
+    difference), the measurement is garbage — escalate the loop length until
+    compute dominates rather than report noise (a run once produced a
+    NEGATIVE µs/step this way)."""
+    for _attempt in range(3):
+        f1 = _scan_loop(step, k1)
+        f2 = _scan_loop(step, k2)
+        t1 = _timed_readback(f1, state, batch, step.aux, trials=trials)
+        t2 = _timed_readback(f2, state, batch, step.aux, trials=trials)
+        per_step = (t2 - t1) / (k2 - k1)
+        if per_step > 0 and t2 > 1.15 * t1:
+            return 1.0 / per_step
+        k2 *= 3
+        trials += 2
+    raise RuntimeError(
+        f"unmeasurable: compute delta never dominated tunnel noise "
+        f"(last t1={t1:.4f}s t2={t2:.4f}s at k2={k2 // 3})"
+    )
 
 
 def previous_round_value(metric: str):

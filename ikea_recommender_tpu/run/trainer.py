@@ -402,6 +402,17 @@ def train(
         out_to_in = jnp.asarray(
             build_output_to_input_table(input_tokenizer, output_tokenizer)
         )
+    # IKEA configs may leave vocab sizes at 0 and carry tokenizers instead
+    # (reference trainGRU.py:27-28,114-116: num_items = len(input vocab),
+    # num_actions = len(output vocab), pad excluded).
+    if d_cfg.num_items == 0 and input_tokenizer is not None:
+        d_cfg.num_items = len(input_tokenizer) - 1
+    if d_cfg.num_actions == 0:
+        d_cfg.num_actions = (
+            len(output_tokenizer) - 1
+            if output_tokenizer is not None
+            else d_cfg.num_items
+        )
 
     if unpopular is None and m_cfg.unpopular_actions_path:
         unpopular = load_unpopular_items(m_cfg.unpopular_actions_path)
