@@ -111,6 +111,11 @@ class TrainConfig:
     # MXU fed; fp32 params keep Adam stable.
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # GRU scan implementation: "auto" applies the measured regime rule
+    # (Pallas kernel for long sequences where its VMEM-pinning wins,
+    # lax.scan otherwise — scripts/bench_gru_regime.py, docs/performance.md);
+    # "xla" / "pallas" force one.
+    scan_impl: str = "auto"
     # Fused Pallas softmax-CE for the supervised head in train steps
     # (ops/fused_ce.py): sup logits never materialize in HBM. Under a mesh
     # the action-sharded variants run (parallel/{fused_ce,q_kernels}.py).
@@ -157,8 +162,29 @@ class TrainConfig:
     # jax.profiler trace of the first training window (view in Perfetto /
     # TensorBoard). The reference has no tracing at all (SURVEY.md §5).
     profile_dir: Optional[str] = None
+    # Named numerics presets (docs/performance.md):
+    #   "fast"      — bf16 head matmuls + bf16 Adam moments: the certified
+    #                 max-throughput arm (accuracy-gated e2e in
+    #                 tests/test_optimizer_mv.py; ~1.8x the default arm on
+    #                 gru4rec at the RetailRocket point).
+    #   "reference" — 6-pass fp32 head matmuls + fp32 moments: exact
+    #                 reference-parity numerics.
+    # A preset only fills fields still at their defaults, so explicit
+    # head_precision / optimizer_mv_dtype settings win.
+    preset: Optional[str] = None
 
     def __post_init__(self) -> None:
+        if self.preset is not None:
+            if self.preset not in ("fast", "reference"):
+                raise ValueError(
+                    f"train.preset must be 'fast' or 'reference', got {self.preset!r}"
+                )
+            if self.head_precision == "high":
+                self.head_precision = (
+                    "default" if self.preset == "fast" else "highest"
+                )
+            if self.optimizer_mv_dtype is None and self.preset == "fast":
+                self.optimizer_mv_dtype = "bfloat16"
         if self.head_precision not in ("highest", "high", "default"):
             raise ValueError(
                 "train.head_precision must be one of highest/high/default, "

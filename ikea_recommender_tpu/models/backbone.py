@@ -40,7 +40,7 @@ class BackboneConfig:
     masked_recurrence: bool = True  # the reference's use_packed_seq
     head_layer: str = "last"  # "last" (correct) | "first" (reference quirk 4)
     dropout: float = 0.0  # applied to the head input (BidirGRU4Rec)
-    scan_impl: str = "xla"  # "xla" (lax.scan) | "pallas" (fused kernel)
+    scan_impl: str = "xla"  # "xla" | "pallas" | "auto" (regime rule, models/gru.py)
     compute_dtype: str = "float32"
     # Pad the table's row count up to a multiple (sharding divisibility +
     # aligned TPU tiles). Extra rows are never indexed. 1 = exact reference

@@ -98,6 +98,7 @@ def model_config_from_train(train_cfg, data_cfg, align: int = 1) -> ModelConfig:
         head_layer="first" if train_cfg.compat_first_layer_head else "last",
         dropout=train_cfg.dropout,
         compute_dtype=train_cfg.compute_dtype,
+        scan_impl=getattr(train_cfg, "scan_impl", "auto"),
         vocab_align=align,
     )
     num_q = {"gru4rec": 0, "bidir_gru4rec": 0, "sqn": 1, "sarm": 5}.get(

@@ -120,6 +120,13 @@ def gru_layer_apply(
     if lengths is not None:
         t_idx = jnp.arange(T)[None, :]
         mask = (t_idx < lengths[:, None]).astype(x_seq.dtype)
+    if scan_impl == "auto":
+        # Measured regime rule (scripts/bench_gru_regime.py on the real
+        # v5e, docs/performance.md): the Pallas kernel's VMEM-pinning wins
+        # for long sequences (~25-35% at T>=50..200, H<=256) and loses at
+        # short T; its backward exceeds VMEM at H=512.
+        H = params["wh"].shape[0]
+        scan_impl = "pallas" if (T * H >= 12800 and H <= 256) else "xla"
     if scan_impl == "pallas":
         from ikea_recommender_tpu.ops.gru_pallas import gru_scan_pallas
 

@@ -287,3 +287,47 @@ def _vjp_bwd(precision: str, res, ct):
 
 
 fused_softmax_ce.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# CE + top-k in ONE forward pass (SMORL's online rewards need the sup head's
+# top-k in the same step that takes the sup CE gradient; computing them
+# separately paid two full passes over the same (B, A) logits)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_softmax_ce_topk(h, w, b, labels, k, valid_dim, precision="highest"):
+    """Per-example CE of ``h @ w + b`` AND the logits' top-k indices from a
+    single blockwise pass (ops/fused_topk.py's scan computes the flash
+    logsumexp, label logit and running top-k together). Returns
+    ``(per_example_ce (B,) fp32, top_idx (B, k) int32)``.
+
+    Differentiable in h, w, b through the CE output only (the indices are
+    discrete — the reward path that consumes them is grad-free by design,
+    reference ``smorl_gru.py:297-308`` computes them under no_grad). The
+    backward pass is the same Pallas kernel as ``fused_softmax_ce``.
+    """
+    out, _res = _ce_topk_fwd(h, w, b, labels, k, valid_dim, precision)
+    return out
+
+
+def _ce_topk_fwd(h, w, b, labels, k, valid_dim, precision):
+    from ikea_recommender_tpu.ops.fused_topk import blockwise_head_topk_ce
+
+    _tv, top_i, m, s, lbl = blockwise_head_topk_ce(
+        h, w, b, k, valid_dim,
+        labels=labels, raw_pieces=True, precision=precision,
+    )
+    lse = m + jnp.log(s)
+    return (lse - lbl, top_i), (h, w, b, labels, lse)
+
+
+def _ce_topk_bwd(k, valid_dim, precision, res, cts):
+    h, w, b, labels, lse = res
+    ct = cts[0]  # cotangent of the CE output; top_idx is int (no tangent)
+    dh, dw, db = _bwd_call(h, w, b, labels, lse, ct, valid_dim, precision)
+    return dh.astype(h.dtype), dw.astype(w.dtype), db.astype(b.dtype), None
+
+
+fused_softmax_ce_topk.defvjp(_ce_topk_fwd, _ce_topk_bwd)

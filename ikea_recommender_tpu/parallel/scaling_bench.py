@@ -38,6 +38,11 @@ class ScalePoint:
     steps_per_sec: float
     sessions_per_sec: float
     efficiency: float  # vs linear scaling from the first point
+    # Host cores actually consumed during the timed loop (process CPU time /
+    # wall time). On a virtual CPU mesh this exposes the physical-core
+    # ceiling: N virtual devices on C cores cannot scale past C no matter
+    # how good the shardings are.
+    cores_used: float = 0.0
 
 
 def _make_batch(rs, B, T, A):
@@ -114,10 +119,12 @@ def run_scaling_bench(
             state, m = sharded(state, batch)
         jax.block_until_ready(m)
         t0 = time.perf_counter()
+        c0 = time.process_time()
         for _ in range(iters):
             state, m = sharded(state, batch)
         jax.block_until_ready(m)
         dt = time.perf_counter() - t0
+        cores = (time.process_time() - c0) / dt
         steps_per_sec = iters / dt
         sessions = steps_per_sec * B
         if base_rate is None:
@@ -130,6 +137,7 @@ def run_scaling_bench(
                 steps_per_sec=steps_per_sec,
                 sessions_per_sec=sessions,
                 efficiency=eff,
+                cores_used=cores,
             )
         )
     return results

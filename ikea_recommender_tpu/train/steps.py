@@ -469,19 +469,32 @@ def smorl_train_step(
 
     def loss_builder(p_main, params_boot):
         if model_cfg.fused_ce:
-            # Lean path: NOTHING dense materializes — fused-CE kernel for
-            # the sup loss (ops/fused_ce.py), a forward-only blockwise
-            # top-k scan for the online-reward predictions
-            # (ops/fused_topk.py), row gather-dots for the Q values and the
-            # weighted-argmax kernel for the target action
-            # (ops/fused_argmax.py).
+            # Lean path: NOTHING dense materializes — ONE blockwise pass
+            # for the sup CE + online-reward top-k (fused_softmax_ce_topk),
+            # row gather-dots for the Q values and the weighted-argmax
+            # kernel for the target action (ops/fused_argmax.py).
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
-            sup_loss = _fused_sup_ce(
-                p_main, model_cfg, h, batch["action"], batch["valid"],
-                mesh, data_axis,
-            )
             sh = p_main["sup_head"]
             top_i = None
+            if mesh is None and k_need:
+                # ONE blockwise pass yields the sup CE (with grad) AND the
+                # online-reward top-k — previously two separate passes over
+                # the same (B, A) logits (fused-CE fwd + top-k scan).
+                from ikea_recommender_tpu.ops.fused_ce import (
+                    fused_softmax_ce_topk,
+                )
+
+                per_ce, top_i = fused_softmax_ce_topk(
+                    h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                    batch["action"], k_need, model_cfg.action_dim,
+                    model_cfg.head_precision,
+                )
+                sup_loss = _masked_mean(per_ce, batch["valid"])
+            else:
+                sup_loss = _fused_sup_ce(
+                    p_main, model_cfg, h, batch["action"], batch["valid"],
+                    mesh, data_axis,
+                )
             qh = p_main["q_heads"]
             h_next = jax.lax.stop_gradient(
                 apply_features(
@@ -520,19 +533,6 @@ def smorl_train_step(
                     )
                 )  # (B, K)
             else:
-                if k_need:
-                    from ikea_recommender_tpu.ops.fused_topk import (
-                        blockwise_head_topk_ce,
-                    )
-
-                    _, top_i, _ = blockwise_head_topk_ce(
-                        jax.lax.stop_gradient(h.astype(jnp.float32)),
-                        jax.lax.stop_gradient(sh["kernel"]),
-                        jax.lax.stop_gradient(sh["bias"]),
-                        k_need,
-                        model_cfg.action_dim,
-                        precision=model_cfg.head_precision,
-                    )
                 q = multihead_row_logit(
                     h, qh["kernel"], qh["bias"], batch["action"]
                 )  # (B, K)

@@ -32,7 +32,11 @@ from ikea_recommender_tpu.models.backbone import (  # noqa: E402
 
 
 def timed(fn, init, k1=4, k2=16, trials=3):
-    """Seconds per fn application, fn chained through a lax.scan carry."""
+    """Seconds per fn application, fn chained through a lax.scan carry.
+
+    Escalates the loop length until the K2-K1 compute delta dominates the
+    tunnel's tens-of-ms latency jitter (same guard as bench.measure — an
+    unguarded run once reported negative times for sub-ms configs)."""
 
     def loop(c, K):
         def body(c, _):
@@ -48,9 +52,6 @@ def timed(fn, init, k1=4, k2=16, trials=3):
             for x in leaves
         )
 
-    f1 = jax.jit(functools.partial(loop, K=k1))
-    f2 = jax.jit(functools.partial(loop, K=k2))
-
     def best(f):
         b = float("inf")
         for _ in range(trials):
@@ -59,7 +60,16 @@ def timed(fn, init, k1=4, k2=16, trials=3):
             b = min(b, time.perf_counter() - t0)
         return b
 
-    return (best(f2) - best(f1)) / (k2 - k1)
+    for _attempt in range(4):
+        f1 = jax.jit(functools.partial(loop, K=k1))
+        f2 = jax.jit(functools.partial(loop, K=k2))
+        t1, t2 = best(f1), best(f2)
+        per = (t2 - t1) / (k2 - k1)
+        if per > 0 and t2 > 1.15 * t1:
+            return per
+        k2 *= 3
+        trials += 1
+    raise RuntimeError("compute delta never dominated tunnel noise")
 
 
 def bench_point(B, T, H, impl, vocab=70852):

@@ -100,3 +100,40 @@ def test_fused_ce_reduced_precision_close(precision, rtol):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(e), rtol=rtol * 50, atol=rtol
         )
+
+
+def test_fused_ce_topk_matches_separate_paths():
+    """fused_softmax_ce_topk = fused_softmax_ce values/grads + dense top-k
+    indices, from ONE blockwise pass (the SMORL lean-step op)."""
+    from ikea_recommender_tpu.ops.fused_ce import fused_softmax_ce_topk
+
+    B, F, A, valid, k = 8, 16, 384, 300, 5
+    rs = np.random.RandomState(1)
+    h = jnp.asarray(rs.randn(B, F).astype(np.float32))
+    w = jnp.asarray(rs.randn(F, A).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(A).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rs.randint(0, valid, (B,)), jnp.int32)
+
+    ce, top_i = fused_softmax_ce_topk(h, w, b, labels, k, valid)
+    want_ce = _ref_per_example(h, w, b, labels, valid)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(want_ce),
+                               rtol=2e-5, atol=2e-5)
+
+    logits = h @ w + b
+    logits = jnp.where(jnp.arange(A) < valid, logits, -1e30)
+    _, want_i = jax.lax.top_k(logits, k)
+    np.testing.assert_array_equal(np.asarray(top_i), np.asarray(want_i))
+
+    # grads flow through the CE output exactly like fused_softmax_ce
+    def loss_combined(h, w, b):
+        ce, _ = fused_softmax_ce_topk(h, w, b, labels, k, valid)
+        return ce.mean()
+
+    def loss_separate(h, w, b):
+        return fused_softmax_ce(h, w, b, labels, valid).mean()
+
+    gc = jax.grad(loss_combined, argnums=(0, 1, 2))(h, w, b)
+    gs = jax.grad(loss_separate, argnums=(0, 1, 2))(h, w, b)
+    for a, e in zip(gc, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-4, atol=1e-5)

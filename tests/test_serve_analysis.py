@@ -144,3 +144,37 @@ def test_predict_and_describe_with_pluggable_lookup():
     # metadata lookup is optional
     out2 = predict_and_describe(rec, buf, rows=[1], k=2)
     assert out2[0]["predictions"][0]["meta"] is None
+
+
+def test_find_hits_and_html_report(tmp_path):
+    from ikea_recommender_tpu.analysis.trajectories import predict_and_describe
+    from ikea_recommender_tpu.analysis.visualize import (
+        find_hits,
+        plot_stream_and_predictions,
+        render_predictions_html,
+    )
+
+    rec = _recommender()
+    buf, _ = synthetic_buffers(num_sessions=30, num_items=A, state_len=T, seed=3)
+
+    # with k = full catalog every row is a hit; with k small, a subset
+    all_rows = find_hits(rec, buf, k=A)
+    assert len(all_rows) == len(buf)
+    some = find_hits(rec, buf, k=3)
+    assert len(some) <= len(buf)
+
+    rows = list(range(min(3, len(buf))))
+    lookup = lambda ids: {
+        int(i): {"name": f"item {i}", "image_url": f"img/{i}.png"} for i in ids
+    }
+    records = predict_and_describe(rec, buf, rows, k=4, lookup_fn=lookup)
+    out = render_predictions_html(records, str(tmp_path / "preds.html"))
+    text = open(out).read()
+    assert "img/" in text and "row 0" in text
+
+    fig_path = plot_stream_and_predictions(
+        records[0], save_to=str(tmp_path / "preds.png")
+    )
+    import os
+
+    assert os.path.getsize(fig_path) > 0
