@@ -215,17 +215,77 @@ def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
     return out
 
 
+def _onehot_colgrad(outer, idx, A):
+    """dW columns -> dense dW via a one-hot MXU matmul instead of autodiff's
+    lane-dim scatter (the scatter of B columns into the (.., A) minor axis
+    measured 933µs at B=256/A=70852/K=3 — ~6x this matmul's cost; see
+    docs/performance.md). outer: (..., B) fp32 column grads; returns
+    (..., A). Exact to fp32 rounding: the one-hot is exactly representable
+    in bf16, and the fp32 ``outer`` is split bf16-hi/lo (two single-pass MXU
+    dots; the lo term keeps full fp32-level accuracy)."""
+    oh = jax.nn.one_hot(idx, A, dtype=jnp.bfloat16)  # (B, A), exact
+    hi = outer.astype(jnp.bfloat16)
+    r1 = outer - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)  # 3rd split:
+    # hi+mid alone is ~16 mantissa bits (1e-5 rel); the scatter this
+    # replaces was exact fp32, so keep ~24 bits
+    nd = outer.ndim
+    dn = (((nd - 1,), (0,)), ((), ()))
+    dot = lambda x: jax.lax.dot_general(
+        x, oh, dimension_numbers=dn, preferred_element_type=jnp.float32
+    )
+    return dot(hi) + dot(mid) + dot(lo)
+
+
+@jax.custom_vjp
 def row_logit(h, w, b, idx):
     """One logit per row: (h @ w + b)[i, idx[i]] as an O(B*F) gather-dot —
-    no (B, A) matmul. Differentiable in h, w, b (the w gradient is the
-    natural column scatter)."""
+    no (B, A) matmul. Differentiable in h, w, b; the w gradient runs as a
+    one-hot matmul (``_onehot_colgrad``), not autodiff's slow lane scatter."""
     w_cols = jnp.take(w, idx, axis=1)  # (F, B)
     return jnp.einsum("bf,fb->b", h, w_cols) + jnp.take(b, idx)
 
 
+def _rl_fwd(h, w, b, idx):
+    return row_logit(h, w, b, idx), (h, w, b.shape[0], idx)
+
+
+def _rl_bwd(res, dq):  # dq: (B,)
+    h, w, A, idx = res
+    w_cols = jnp.take(w, idx, axis=1)  # (F, B)
+    dh = jnp.einsum("b,fb->bf", dq, w_cols)
+    outer = jnp.einsum("b,bf->fb", dq, h)  # (F, B)
+    dw = _onehot_colgrad(outer, idx, A)  # (F, A)
+    db = _onehot_colgrad(dq[None, :], idx, A)[0]  # (A,)
+    return dh, dw, db, None
+
+
+row_logit.defvjp(_rl_fwd, _rl_bwd)
+
+
+@jax.custom_vjp
 def multihead_row_logit(h, w, b, idx):
     """One logit per row per head: (B, F) x (K, F, A) -> (B, K) at idx[i]
     (the lean ``gather_from_3d`` — no (B, K, A) materialization).
-    Differentiable in h, w, b."""
+    Differentiable in h, w, b; w gradient via one-hot matmul (see
+    ``row_logit``)."""
     w_cols = jnp.take(w, idx, axis=2)  # (K, F, B)
     return jnp.einsum("bf,kfb->bk", h, w_cols) + jnp.take(b, idx, axis=1).T
+
+
+def _mrl_fwd(h, w, b, idx):
+    return multihead_row_logit(h, w, b, idx), (h, w, b.shape[1], idx)
+
+
+def _mrl_bwd(res, dq):  # dq: (B, K)
+    h, w, A, idx = res
+    w_cols = jnp.take(w, idx, axis=2)  # (K, F, B)
+    dh = jnp.einsum("bk,kfb->bf", dq, w_cols)
+    outer = jnp.einsum("bk,bf->kfb", dq, h)  # (K, F, B)
+    dw = _onehot_colgrad(outer, idx, A)  # (K, F, A)
+    db = _onehot_colgrad(dq.T, idx, A)  # (K, A)
+    return dh, dw, db, None
+
+
+multihead_row_logit.defvjp(_mrl_fwd, _mrl_bwd)

@@ -90,3 +90,63 @@ def test_multihead_row_logit_matches_gather_from_3d():
     q_all = jnp.einsum("bf,kfa->bka", h, w) + b
     want = gather_from_3d(q_all, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+def test_row_logit_vjps_match_dense_reference():
+    """The one-hot-matmul w/b gradients (which replace autodiff's slow
+    lane-dim scatter) must match the dense path's grads to fp32 rounding."""
+    from ikea_recommender_tpu.ops.fused_argmax import (
+        multihead_row_logit,
+        row_logit,
+    )
+    from ikea_recommender_tpu.ops.rl import gather_from_3d
+
+    rs = np.random.RandomState(7)
+    B, F, K, A = 8, 8, 3, 64
+    h = jnp.asarray(rs.randn(B, F).astype(np.float32))
+    wK = jnp.asarray(rs.randn(K, F, A).astype(np.float32))
+    bK = jnp.asarray(rs.randn(K, A).astype(np.float32))
+    w1 = jnp.asarray(rs.randn(F, A).astype(np.float32))
+    b1 = jnp.asarray(rs.randn(A).astype(np.float32))
+    idx = jnp.asarray(rs.randint(0, A, B), jnp.int32)
+    ct = jnp.asarray(rs.randn(B, K).astype(np.float32))
+    ct1 = jnp.asarray(rs.randn(B).astype(np.float32))
+
+    def got_multi(h, w, b):
+        return (multihead_row_logit(h, w, b, idx) * ct).sum()
+
+    def ref_multi(h, w, b):
+        q_all = jnp.einsum("bf,kfa->bka", h, w) + b
+        return (gather_from_3d(q_all, idx) * ct).sum()
+
+    g = jax.grad(got_multi, argnums=(0, 1, 2))(h, wK, bK)
+    e = jax.grad(ref_multi, argnums=(0, 1, 2))(h, wK, bK)
+    for a, x in zip(g, e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+
+    def got_one(h, w, b):
+        return (row_logit(h, w, b, idx) * ct1).sum()
+
+    def ref_one(h, w, b):
+        logits = h @ w + b
+        return (jnp.take_along_axis(logits, idx[:, None], 1)[:, 0] * ct1).sum()
+
+    g = jax.grad(got_one, argnums=(0, 1, 2))(h, w1, b1)
+    e = jax.grad(ref_one, argnums=(0, 1, 2))(h, w1, b1)
+    for a, x in zip(g, e):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(x),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_row_logit_vjp_duplicate_indices():
+    """Duplicate idx values must ACCUMULATE in dw/db like the scatter did."""
+    from ikea_recommender_tpu.ops.fused_argmax import row_logit
+
+    B, F, A = 4, 4, 16
+    h = jnp.ones((B, F), jnp.float32)
+    w = jnp.ones((F, A), jnp.float32)
+    b = jnp.zeros((A,), jnp.float32)
+    idx = jnp.asarray([3, 3, 3, 5], jnp.int32)
+    db = jax.grad(lambda b: row_logit(h, w, b, idx).sum())(b)
+    assert float(db[3]) == 3.0 and float(db[5]) == 1.0 and float(db.sum()) == 4.0
