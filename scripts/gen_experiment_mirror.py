@@ -177,8 +177,10 @@ def main():
 
     # --- paper/SMORL-SQN-Exps: reward-structure experiments ----------------
     for name, desc in [
-        ("SQN-SMORL-OG-Reward-Struct", "SQN with the original click/buy reward structure, Q(s_next, a) target"),
-        ("SQN-SMORL-Rew1", "SQN with reward=1 for all actions, Q(s_next, a) target"),
+        ("SQN-SMORL-OG-Reward-Struct", "SQN with the original click/buy reward structure"),
+        ("SQN-SMORL-Rew1", "SQN with reward=1 for all actions"),
+        ("SQN-SMORL-OG-Reward-Struct-Q(s_next,a)", "SQN with the original click/buy reward structure, Q(s_next, a) target"),
+        ("SQN-SMORL-Rew1-Q(s_next,a)", "SQN with reward=1 for all actions, Q(s_next, a) target"),
     ]:
         emit(
             "paper/SMORL-SQN-Exps", name,
@@ -366,6 +368,89 @@ def main():
             data=ikea_data(), metrics=IKEA_METRICS,
         )
         n += 1
+
+    # --- IKEA/State-Length-Exp: GRU4Rec state-length sweep -----------------
+    for state in (1, 2, 3, 5, 10, 20):
+        emit(
+            "IKEA/State-Length-Exp", f"GRU4Rec-s{state}-lr001",
+            f"experiments/IKEA/State-Length-Exp/GRU4Rec-s{state}-lr001.yaml",
+            f"GRU4Rec at state length {state}",
+            "gru4rec",
+            ikea_train("gru4rec", 0.001, state_size=state),
+            data=ikea_data(), metrics=IKEA_METRICS,
+        )
+        n += 1
+
+    # --- IKEA/final_experiments: the headline IKEA runs --------------------
+    # (reference experiments/IKEA/final_experiments/*.yaml; epochs 8,
+    # val_batch 5000, Val_NDCG@12 selection; per-file lr/dims/q_weights
+    # mirrored from each file's train block)
+    def final_emit(name, model, desc, seeds=(118, 311), **kw):
+        emit(
+            "IKEA/final_experiments", name,
+            f"experiments/IKEA/final_experiments/{name}.yaml",
+            desc, model,
+            ikea_train(model, kw.pop("learning_rate", 0.0005), **kw),
+            data=ikea_data(), metrics=IKEA_METRICS,
+            experiment={"seed_torch": seeds[0], "seed_python": seeds[1],
+                        "save_pretrained_embeddings": True},
+        )
+
+    final_emit("GRU4Rec-paper", "gru4rec", "GRU4Rec", seeds=(111, 222))
+    final_emit("GRU4Rec-paper-state5", "gru4rec",
+               "GRU4Rec with state len 5", state_size=5)
+    final_emit("GRU4Rec-paper-state20", "gru4rec",
+               "GRU4Rec with state len 20", state_size=20)
+    final_emit("GRU4Rec-paper-state20-trainpad", "gru4rec",
+               "GRU4Rec with state len 20, unpacked", state_size=20,
+               use_packed_seq=False)
+    final_emit("GRU4Rec-paper-state20-2layers", "gru4rec",
+               "GRU4Rec with state len 20, 2 GRU layers", state_size=20,
+               embedding_size=128, gru_layers=2)
+    final_emit("GRU4Rec-div-embedding-64", "gru4rec",
+               "GRU4Rec training for diversity embeddings size 64",
+               seeds=(123, 345))
+    final_emit("GRU4Rec-div-embedding-128", "gru4rec",
+               "GRU4Rec training for diversity embeddings size 128",
+               seeds=(123, 345), embedding_size=128)
+    final_emit("BidirGRU-10", "bidir_gru4rec", "BidirGRU4Rec",
+               seeds=(111, 222))
+    final_emit("BidirGRU-10-005", "bidir_gru4rec",
+               "BidirGRU4Rec at lr 5e-3", seeds=(111, 222),
+               learning_rate=0.005)
+    # the reference BidirGRU-state20.yaml still carries state_size 10 (its
+    # name is stale) — mirrored as-is
+    final_emit("BidirGRU-state20", "bidir_gru4rec",
+               "BidirGRU4Rec (state20 in name only; reference carries 10)",
+               seeds=(111, 222))
+    final_emit("SQN-paper", "sqn", "First run of SQN.", gamma=0.5)
+    for name, lr, alpha, qw in [
+        ("SMORL-paper", 0.0005, 1, [1, 1, 1]),
+        ("SMORL-paper-newRewState", 0.001, 1, [1, 1, 1]),
+        ("SMORL-NovDiv", 0.001, 1, [0, 1, 1]),
+        ("SMORL-NovDiv-x5", 0.001, 5, [0, 1, 1]),
+        ("SMORL-NovDiv-x5-rewfirst", 0.001, 5, [0, 1, 1]),
+        ("SMORL-NovDiv-x150-rewfirst", 0.001, 150, [0, 1, 1]),
+        ("SMORL-Novx10", 0.001, 10, [0, 0, 1]),
+        ("SMORL-Novx100-rewfirst", 0.001, 100, [0, 0, 1]),
+    ]:
+        final_emit(name, "smorl", "First run of SMORL.",
+                   learning_rate=lr, gamma=0.5, alpha=alpha, q_weights=qw)
+    n += 19
+
+    # --- paper/playing: the exploratory sandbox config ---------------------
+    emit(
+        "paper/playing", "play_around",
+        "experiments/paper/playing/play_around.yaml",
+        "Exploratory sandbox run (reference Playing_Around/Exp_99)",
+        "gru4rec",
+        dict(epochs=1, learning_rate=0.005, batch_size=2000,
+             val_batch_size=5000, gamma=0.5, use_packed_seq=False,
+             best_model_metric="Val_NDCG@10"),
+        actions={"action_types_names": {0: "click", 1: "buy"},
+                 "action_to_reward": {0: 0.2, 1: 1.0}},
+    )
+    n += 1
 
     # --- IKEA templates (reference IKEA/*-templ.yaml, exp_adam_*) ----------
     for name, model, kw in [

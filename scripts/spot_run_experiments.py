@@ -7,9 +7,10 @@ with dual tokenizers), rewrites ONLY data paths / vocab sizes / epoch count
 into a run copy, and executes ``python -m ikea_recommender_tpu.run.cli``.
 
 Usage: python scripts/spot_run_experiments.py [config.yaml ...]
-Default picks 3 configs spanning the axes: beg-padding single-Adam double-Q
-with action types, SMORL with alpha/q_weights overrides on IKEA data, and a
-2-layer 128-wide bidirectional GRU.
+Default picks ONE config from every mirrored class directory (16 classes),
+spanning the axes: beg/end padding, packed sequences, single/double-Q Adam,
+action-type metrics, SMORL alpha/q_weights overrides, IKEA dual-tokenizer
+data, 2-layer 128-wide bidirectional GRU, and the SARM template.
 """
 
 from __future__ import annotations
@@ -32,10 +33,23 @@ from ikea_recommender_tpu.data.split import train_test_split_ids
 from ikea_recommender_tpu.data.synthetic import synthetic_sessions
 from ikea_recommender_tpu.data.tokenizer import Tokenizer
 
-DEFAULTS = [
-    "experiments/paper/SQN_RetailRocket_NoCV_final/SQN_GRU_paper_opt2_front/SQN_GRU_paper_opt2_front.yaml",
+DEFAULTS = [  # one per mirrored class directory
+    "experiments/Ablations/SQN-action-types/SQN-action-types.yaml",
     "experiments/IKEA/Hyperparameter-Tuning/SMORL-lr-001-sd2-alpha5-133-divnovfirst/SMORL-lr-001-sd2-alpha5-133-divnovfirst.yaml",
     "experiments/IKEA/State-Length-Exp/BidirGRU-s20-d035-128-onelayer-twoGRUlay/BidirGRU-s20-d035-128-onelayer-twoGRUlay.yaml",
+    "experiments/IKEA/Test-Runs/SQN-Test1-lr001-sd1/SQN-Test1-lr001-sd1.yaml",
+    "experiments/IKEA/final_experiments/SMORL-paper/SMORL-paper.yaml",
+    "experiments/IKEA/first_runs/IKEA_GRU_right_tokenizer_smallerBS/IKEA_GRU_right_tokenizer_smallerBS.yaml",
+    "experiments/IKEA/templates/exp_adam_QSLATE-tester-64/exp_adam_QSLATE-tester-64.yaml",
+    "experiments/RetailRocket-Comparison/GRU4Rec_paper/GRU4Rec_paper.yaml",
+    "experiments/paper/GRU4Rec/GRU_opt3_packed/GRU_opt3_packed.yaml",
+    "experiments/paper/RetailRocket-Comparison-Val/paper_SMORL/paper_SMORL.yaml",
+    "experiments/paper/SMORL-RetailRocket/SMORL_GRU_front_train_pad/SMORL_GRU_front_train_pad.yaml",
+    "experiments/paper/SMORL-SQN-Exps/SQN-SMORL-Rew1/SQN-SMORL-Rew1.yaml",
+    "experiments/paper/SQN_RetailRocket_NoCV/SQN_GRU_paper_opt3_packed/SQN_GRU_paper_opt3_packed.yaml",
+    "experiments/paper/SQN_RetailRocket_NoCV_2/SQN_GRU_paper_replica_trainable/SQN_GRU_paper_replica_trainable.yaml",
+    "experiments/paper/SQN_RetailRocket_NoCV_final/SQN_GRU_paper_opt2_front/SQN_GRU_paper_opt2_front.yaml",
+    "experiments/paper/playing/play_around.yaml",
 ]
 
 RR_ITEMS = 500
