@@ -42,11 +42,14 @@ import numpy as np
 
 def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
           emb=64, hidden=64, compute_dtype="float32", scan_impl="xla",
-          fused_ce=True, mv_dtype=None, lazy=False, head_precision="high"):
+          fused_ce=True, mv_dtype=None, lazy=False, lazy_qh=False,
+          head_precision="high"):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.models.families import model_config_from_train
     from ikea_recommender_tpu.train.state import (
         make_double_q_state,
+        make_lazy_double_q_state,
+        make_lazy_sarm_state,
         make_lazy_train_state,
         make_optimizer,
         make_train_state,
@@ -84,9 +87,21 @@ def build(model="gru4rec", batch=256, catalog=70852, state_len=10,
     step = make_train_step(
         mc, opt, rl, **aux, donate=True,
         lazy_embedding_lr=0.01 if lazy else None,
+        lazy_qhead_lr=0.01 if lazy_qh else None,
     )
     if model in ("sqn", "smorl"):
-        state, _ = make_double_q_state(jax.random.key(0), mc, 0.01, mv_dtype)
+        if lazy_qh or lazy:
+            state, _ = make_lazy_double_q_state(
+                jax.random.key(0), mc, 0.01, mv_dtype,
+                lazy_emb=lazy, lazy_qh=lazy_qh,
+            )
+        else:
+            state, _ = make_double_q_state(jax.random.key(0), mc, 0.01, mv_dtype)
+    elif model == "sarm" and (lazy_qh or lazy):
+        state, _ = make_lazy_sarm_state(
+            jax.random.key(0), mc, 0.01, mv_dtype,
+            lazy_emb=lazy, lazy_qh=lazy_qh,
+        )
     elif lazy:
         state, _ = make_lazy_train_state(
             jax.random.key(0), mc, 0.01, mv_dtype

@@ -134,9 +134,17 @@ class TrainConfig:
     # RetailRocket point). Eval always runs at "highest".
     head_precision: str = "high"
     # "adam" (reference parity, dense) or "lazy_adam" (sparse-row embedding
-    # updates — train/lazy_adam.py; large-catalog throughput opt-in,
-    # gru4rec/bidir only, NOT bit-identical to dense Adam).
+    # updates — train/lazy_adam.py; large-catalog throughput opt-in, any
+    # family, NOT bit-identical to dense Adam).
     optimizer: str = "adam"
+    # Q-head optimizer (sqn/smorl/sarm): None/"adam" (dense; reference
+    # parity) or "lazy_adam" — sparse-COLUMN Adam over the (K, F, A) head:
+    # only the B batch-action columns' params/moments move per step (dW is
+    # 99.6% zeros at the RetailRocket point; train/lazy_adam.py). Lazy
+    # semantics (moment decay only when touched) — accuracy-gated e2e in
+    # tests/test_lazy_qhead.py. Orthogonal to ``optimizer`` (the embedding
+    # treatment); single-chip fused path only.
+    qhead_optimizer: Optional[str] = None
     # Storage dtype for Adam's m/v moments (e.g. "bfloat16" halves the
     # dominant optimizer streaming traffic — docs/performance.md roofline).
     # None = fp32 (reference parity). Math stays fp32 either way.

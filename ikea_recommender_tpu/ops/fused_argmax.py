@@ -238,12 +238,26 @@ def _onehot_colgrad(outer, idx, A):
     return dot(hi) + dot(mid) + dot(lo)
 
 
+def take_cols_sorted(w, idx, axis):
+    """``jnp.take(w, idx, axis)`` via sort -> gather -> inverse-permute.
+
+    Minor-axis gathers with UNSORTED ids cost ~126us on this chip at the
+    (3, 64, 70852) head (B=256) while the same gather with sorted ids is
+    under measurement noise (scripts/bench_col_scatter.py); the argsort of
+    256 ids plus the inverse permutation of the small (.., B) result are
+    ~free. Exact: a permutation gather composed with its inverse."""
+    order = jnp.argsort(idx)
+    sids = jnp.take(idx, order)
+    inv = jnp.argsort(order)
+    return jnp.take(jnp.take(w, sids, axis=axis), inv, axis=axis)
+
+
 @jax.custom_vjp
 def row_logit(h, w, b, idx):
     """One logit per row: (h @ w + b)[i, idx[i]] as an O(B*F) gather-dot —
     no (B, A) matmul. Differentiable in h, w, b; the w gradient runs as a
     one-hot matmul (``_onehot_colgrad``), not autodiff's slow lane scatter."""
-    w_cols = jnp.take(w, idx, axis=1)  # (F, B)
+    w_cols = take_cols_sorted(w, idx, axis=1)  # (F, B)
     return jnp.einsum("bf,fb->b", h, w_cols) + jnp.take(b, idx)
 
 
@@ -253,7 +267,7 @@ def _rl_fwd(h, w, b, idx):
 
 def _rl_bwd(res, dq):  # dq: (B,)
     h, w, A, idx = res
-    w_cols = jnp.take(w, idx, axis=1)  # (F, B)
+    w_cols = take_cols_sorted(w, idx, axis=1)  # (F, B)
     dh = jnp.einsum("b,fb->bf", dq, w_cols)
     outer = jnp.einsum("b,bf->fb", dq, h)  # (F, B)
     dw = _onehot_colgrad(outer, idx, A)  # (F, A)
@@ -270,7 +284,7 @@ def multihead_row_logit(h, w, b, idx):
     (the lean ``gather_from_3d`` — no (B, K, A) materialization).
     Differentiable in h, w, b; w gradient via one-hot matmul (see
     ``row_logit``)."""
-    w_cols = jnp.take(w, idx, axis=2)  # (K, F, B)
+    w_cols = take_cols_sorted(w, idx, axis=2)  # (K, F, B)
     return jnp.einsum("bf,kfb->bk", h, w_cols) + jnp.take(b, idx, axis=1).T
 
 
@@ -280,7 +294,7 @@ def _mrl_fwd(h, w, b, idx):
 
 def _mrl_bwd(res, dq):  # dq: (B, K)
     h, w, A, idx = res
-    w_cols = jnp.take(w, idx, axis=2)  # (K, F, B)
+    w_cols = take_cols_sorted(w, idx, axis=2)  # (K, F, B)
     dh = jnp.einsum("bk,kfb->bf", dq, w_cols)
     outer = jnp.einsum("bk,bf->kfb", dq, h)  # (K, F, B)
     dw = _onehot_colgrad(outer, idx, A)  # (K, F, A)

@@ -460,10 +460,16 @@ def train(
     lazy = t_cfg.optimizer == "lazy_adam"
     if t_cfg.optimizer not in ("adam", "lazy_adam"):
         raise ValueError(f"unknown optimizer {t_cfg.optimizer!r}")
-    if lazy and family not in ("gru4rec", "bidir_gru4rec"):
-        raise ValueError(
-            "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
-        )
+    if t_cfg.qhead_optimizer not in (None, "adam", "lazy_adam"):
+        raise ValueError(f"unknown qhead_optimizer {t_cfg.qhead_optimizer!r}")
+    lazy_qh = t_cfg.qhead_optimizer == "lazy_adam"
+    if lazy_qh and family not in ("sqn", "smorl", "sarm"):
+        raise ValueError("qhead_optimizer='lazy_adam' needs a Q family")
+    if (lazy or lazy_qh) and family not in ("gru4rec", "bidir_gru4rec"):
+        if mesh is not None:
+            raise ValueError("lazy optimizers are single-chip only (no mesh)")
+        if t_cfg.double_q_optimizers == 1:
+            raise ValueError("lazy optimizers need double_q_optimizers=2")
     multiprocess = jax.process_count() > 1
     proc_sharded = (
         p_cfg.process_sharded
@@ -475,12 +481,36 @@ def train(
 
     def _build_state():
         if family in DOUBLE_Q_FAMILIES:
+            if lazy or lazy_qh:
+                from ikea_recommender_tpu.train.state import (
+                    make_lazy_double_q_state,
+                )
+
+                return make_lazy_double_q_state(
+                    key,
+                    model_cfg,
+                    t_cfg.learning_rate,
+                    t_cfg.optimizer_mv_dtype,
+                    lazy_emb=lazy,
+                    lazy_qh=lazy_qh,
+                )[0]
             return make_double_q_state(
                 key,
                 model_cfg,
                 t_cfg.learning_rate,
                 t_cfg.optimizer_mv_dtype,
                 single_optimizer=(t_cfg.double_q_optimizers == 1),
+            )[0]
+        if family == "sarm" and (lazy or lazy_qh):
+            from ikea_recommender_tpu.train.state import make_lazy_sarm_state
+
+            return make_lazy_sarm_state(
+                key,
+                model_cfg,
+                t_cfg.learning_rate,
+                t_cfg.optimizer_mv_dtype,
+                lazy_emb=lazy,
+                lazy_qh=lazy_qh,
             )[0]
         if lazy:
             from ikea_recommender_tpu.train.state import make_lazy_train_state
@@ -519,6 +549,7 @@ def train(
             unpopular_mask=unpop_mask,
             out_to_in=out_to_in,
             lazy_embedding_lr=t_cfg.learning_rate if lazy else None,
+            lazy_qhead_lr=t_cfg.learning_rate if lazy_qh else None,
             donate=True,
             mesh=mesh,
             data_axis=(DATA_AXIS if mesh is not None else None),

@@ -209,3 +209,109 @@ def make_lazy_train_state(
         ),
         opt,
     )
+
+
+# ---------------------------------------------------------------------------
+# Lazy Q-family states (sparse-row embedding and/or sparse-column Q-heads —
+# train/lazy_adam.py; steps._lazy_apply_updates consumes this structure)
+# ---------------------------------------------------------------------------
+
+_QH_KEY = {"sqn": "q_head", "smorl": "q_heads", "sarm": "q_heads"}
+
+
+def split_qhead(params: Any, family: str) -> Tuple[Any, Any]:
+    """(q-head subtree, params-without-q-head)."""
+    key = _QH_KEY[family]
+    rest = {k: v for k, v in params.items() if k != key}
+    return params[key], rest
+
+
+def _lazy_net_opt_state(
+    opt: optax.GradientTransformation,
+    params: Any,
+    family: str,
+    lazy_emb: bool,
+    lazy_qh: bool,
+):
+    """Per-net opt state for the lazy paths: {"rest": optax-on-dense-part,
+    "emb"?: EmbAdamState, "qh"?: ColAdamState}. The dense part mirrors
+    steps._dense_part: the remainder tree under "rest" plus, for SARM's
+    densely-updated head 0, an "h0" leaf."""
+    from ikea_recommender_tpu.train.lazy_adam import init_col_adam, init_emb_adam
+
+    rest = params
+    st: dict = {}
+    if lazy_emb:
+        emb, rest = split_embedding(rest)
+        st["emb"] = init_emb_adam(emb)
+    if lazy_qh:
+        qh, rest = split_qhead(rest, family)
+        if family == "sarm":
+            st["qh"] = init_col_adam(qh["kernel"][1:], qh["bias"][1:])
+        else:
+            st["qh"] = init_col_adam(qh["kernel"], qh["bias"])
+    dense = {"rest": rest}
+    if lazy_qh and family == "sarm":
+        dense["h0"] = {"kernel": qh["kernel"][0], "bias": qh["bias"][0]}
+    st["rest"] = opt.init(dense)
+    # Per-NET update count for the sparse parts' Adam bias correction:
+    # dense double-Q Adam's count advances only on the steps its net is the
+    # selected main net, and the lazy paths must match (the global step
+    # would over-correct the unselected net's first updates).
+    st["count"] = jnp.zeros((), jnp.int32)
+    return st
+
+
+def make_lazy_double_q_state(
+    key: jax.Array,
+    model_cfg: ModelConfig,
+    learning_rate: float,
+    mv_dtype: str | None = None,
+    *,
+    lazy_emb: bool = False,
+    lazy_qh: bool = False,
+) -> Tuple[DoubleQState, optax.GradientTransformation]:
+    """Double-Q state for sqn/smorl with lazy optimizer parts (each net owns
+    independent {rest, emb?, qh?} states; the 1-optimizer ablation arm is
+    dense-only)."""
+    k1, k2, k_state = jax.random.split(key, 3)
+    p1 = init_model(k1, model_cfg)
+    p2 = init_model(k2, model_cfg)
+    opt = make_optimizer(learning_rate, mv_dtype)
+    fam = model_cfg.family
+    opt_state = (
+        _lazy_net_opt_state(opt, p1, fam, lazy_emb, lazy_qh),
+        _lazy_net_opt_state(opt, p2, fam, lazy_emb, lazy_qh),
+    )
+    return (
+        DoubleQState(
+            params=(p1, p2),
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        ),
+        opt,
+    )
+
+
+def make_lazy_sarm_state(
+    key: jax.Array,
+    model_cfg: ModelConfig,
+    learning_rate: float,
+    mv_dtype: str | None = None,
+    *,
+    lazy_emb: bool = False,
+    lazy_qh: bool = False,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    k_init, k_state = jax.random.split(key)
+    params = init_model(k_init, model_cfg)
+    opt = make_optimizer(learning_rate, mv_dtype)
+    return (
+        TrainState(
+            params=params,
+            opt_state=_lazy_net_opt_state(opt, params, "sarm", lazy_emb, lazy_qh),
+            step=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        ),
+        opt,
+    )

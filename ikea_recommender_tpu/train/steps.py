@@ -58,12 +58,19 @@ from ikea_recommender_tpu.ops.rl import (
     get_weighted_q_target,
     weighted_q_loss,
 )
-from ikea_recommender_tpu.train.lazy_adam import emb_adam_update
+from ikea_recommender_tpu.train.lazy_adam import (
+    emb_adam_update,
+    gather_qhead_cols,
+    qhead_col_adam_update,
+    sarm_qhead_update,
+    sort_batch_ids,
+)
 from ikea_recommender_tpu.train.state import (
     DoubleQState,
     TrainState,
     merge_embedding,
     split_embedding,
+    split_qhead,
 )
 
 
@@ -338,6 +345,317 @@ def _double_q_run(
     return jax.lax.cond(idx == 0, branch(0), branch(1), state)
 
 
+# ---------------------------------------------------------------------------
+# Lazy-optimizer machinery (sparse-row embedding Adam and/or sparse-COLUMN
+# Q-head Adam — train/lazy_adam.py; opt-in via TrainConfig.optimizer /
+# TrainConfig.qhead_optimizer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LazyCfg:
+    """Which parts of the tree take the lazy treatment (and at what lr —
+    the manual sparse updates cannot read it from the optax chain)."""
+
+    emb_lr: Optional[float] = None  # lazy-row embedding Adam
+    qh_lr: Optional[float] = None  # lazy-column Q-head Adam
+
+    @property
+    def on(self) -> bool:
+        return self.emb_lr is not None or self.qh_lr is not None
+
+
+def _lazy_double_q_run(
+    state: DoubleQState,
+    idx: jax.Array,
+    batch: Dict[str, jax.Array],
+    family: str,
+    model_cfg: ModelConfig,
+    opt: optax.GradientTransformation,
+    lazy: LazyCfg,
+    loss_builder: Callable,
+) -> Tuple[DoubleQState, Tuple[jax.Array, jax.Array]]:
+    """Double-Q runner for the lazy optimizer paths.
+
+    The large lazily-updated buffers (embedding table + row moments, Q-head
+    kernel/bias + column moments) must NOT flow through the double-Q
+    ``lax.cond``: XLA's conditional copy insertion materializes full copies
+    of large buffers a branch passes through or scatters into (measured:
+    +220us/step at the RetailRocket SMORL point, HLO showed ~1GB of pure
+    copies). So:
+
+    - the cond carries ONLY the dense "rest" trees + their Adam states +
+      per-net counts; it computes the selected net's loss, grads, and dense
+      update, and surfaces the SMALL sparse cotangents ((K, F, B) columns,
+      (B*T, E) rows);
+    - both nets' sparse updates run OUTSIDE the cond, predicated on the
+      coin: the unselected net's scatter writes back its own gathered
+      values (identity write of B columns / B*T rows, ~20us) and its
+      moments/count are passed through unchanged.
+
+    ``loss_builder(diff, ctx) -> (total, (sup_loss, q_loss))`` where ctx
+    carries {main_i, p_boot, emb, qh_full, aux} (all closure-read inside
+    the cond; read-only operands do not trigger the copy pathology)."""
+    qh_key = "q_head" if family == "sqn" else "q_heads"
+    p0, p1 = state.params
+    o0, o1 = state.opt_state
+
+    parts = []  # (rest, emb, qh) per net
+    for p in (p0, p1):
+        rest = p
+        emb = qh = None
+        if lazy.emb_lr is not None:
+            emb, rest = split_embedding(rest)
+        if lazy.qh_lr is not None:
+            qh, rest = split_qhead(rest, family)
+        parts.append((rest, emb, qh))
+
+    aux: Dict[str, jax.Array] = {}
+    cols = x_embs = None
+    if lazy.qh_lr is not None:
+        sids, inv = sort_batch_ids(batch["action"])
+        aux["sids"], aux["inv"] = sids, inv
+        cols = [
+            gather_qhead_cols(qh["kernel"], qh["bias"], sids)
+            for (_r, _e, qh) in parts
+        ]
+    if lazy.emb_lr is not None:
+        x_embs = [
+            jnp.take(e, batch["state"], axis=0) for (_r, e, _q) in parts
+        ]
+
+    def branch(main_i: int):
+        def br(operand):
+            rests, ros, counts = operand
+            rest_main = rests[main_i]
+            diff = {"rest": rest_main}
+            if lazy.emb_lr is not None:
+                diff["x_emb"] = x_embs[main_i]
+            if lazy.qh_lr is not None:
+                diff["w_cols"], diff["b_cols"] = cols[main_i]
+            ctx = {
+                "main_i": main_i,
+                "p_boot": (p0, p1)[1 - main_i],
+                "emb": parts[main_i][1],
+                "qh_full": (
+                    parts[main_i][2]
+                    if lazy.qh_lr is not None
+                    else (p0, p1)[main_i][qh_key]
+                ),
+                "aux": aux,
+            }
+            (_, aux_losses), grads = jax.value_and_grad(
+                loss_builder, has_aux=True
+            )(diff, ctx)
+            g_rest = grads["rest"]
+            if lazy.emb_lr is None:
+                g_rest = _apply_grad_mask(g_rest, model_cfg)
+            updates, new_ro = opt.update(
+                {"rest": g_rest}, ros[main_i], {"rest": rest_main}
+            )
+            new_rest = optax.apply_updates({"rest": rest_main}, updates)["rest"]
+            if main_i == 0:
+                out = ((new_rest, rests[1]), (new_ro, ros[1]),
+                       (counts[0] + 1, counts[1]))
+            else:
+                out = ((rests[0], new_rest), (ros[0], new_ro),
+                       (counts[0], counts[1] + 1))
+            sparse_g = (
+                grads.get("w_cols", jnp.zeros(())),
+                grads.get("b_cols", jnp.zeros(())),
+                grads.get("x_emb", jnp.zeros(())),
+            )
+            return out + (sparse_g, aux_losses)
+
+        return br
+
+    operand = (
+        (parts[0][0], parts[1][0]),
+        (o0["rest"], o1["rest"]),
+        (o0["count"], o1["count"]),
+    )
+    rests, ros, counts, (g_w, g_b, g_x), aux_losses = jax.lax.cond(
+        idx == 0, branch(0), branch(1), operand
+    )
+
+    frozen = (
+        None
+        if model_cfg.backbone.train_pad_embed
+        else model_cfg.backbone.padding_idx
+    )
+    new_params, new_opts = [], []
+    for i in (0, 1):
+        sel = idx == i
+        old_cnt = (o0, o1)[i]["count"]  # pre-update count for bias correction
+        p_i = dict(rests[i])
+        o_i = {"rest": ros[i], "count": counts[i]}
+        if lazy.emb_lr is not None:
+            new_emb, new_est = emb_adam_update(
+                parts[i][1],
+                (o0, o1)[i]["emb"],
+                batch["state"].reshape(-1),
+                g_x.reshape(-1, g_x.shape[-1]),
+                old_cnt,
+                lr=lazy.emb_lr,
+                frozen_row=frozen,
+                selected=sel,
+            )
+            p_i = merge_embedding(p_i, new_emb)
+            o_i["emb"] = new_est
+        if lazy.qh_lr is not None:
+            new_k, new_bf, new_qst = qhead_col_adam_update(
+                parts[i][2]["kernel"],
+                parts[i][2]["bias"],
+                (o0, o1)[i]["qh"],
+                aux["sids"],
+                g_w,
+                g_b,
+                old_cnt,
+                lazy.qh_lr,
+                w_cols=cols[i][0],
+                b_cols=cols[i][1],
+                selected=sel,
+            )
+            p_i[qh_key] = {"kernel": new_k, "bias": new_bf}
+            o_i["qh"] = new_qst
+        new_params.append(p_i)
+        new_opts.append(o_i)
+
+    new_state = state.replace(
+        params=(new_params[0], new_params[1]),
+        opt_state=(new_opts[0], new_opts[1]),
+        step=state.step + 1,
+    )
+    return new_state, aux_losses
+
+
+def _lazy_diff_parts(p, family, model_cfg, lazy, batch):
+    """Split one net's params for the lazy paths.
+
+    Returns (diff, qh, emb, aux) where ``diff`` is the pytree handed to
+    value_and_grad: the dense-Adam'd remainder under "rest", plus the
+    OUTSIDE-autodiff gathers whose cotangents drive the sparse updates —
+    "x_emb" (B, T, E) embedding rows and "w_cols"/"b_cols" (K, F, B)/(K, B)
+    SORTED Q-head action columns (sorted minor-axis gathers are ~10x the
+    speed of unsorted — scripts/bench_col_scatter.py)."""
+    rest = p
+    emb = qh = None
+    aux = {}
+    if lazy.emb_lr is not None:
+        emb, rest = split_embedding(rest)
+    if lazy.qh_lr is not None:
+        qh, rest = split_qhead(rest, family)
+    diff = {"rest": rest}
+    if lazy.emb_lr is not None:
+        diff["x_emb"] = jnp.take(emb, batch["state"], axis=0)
+    if lazy.qh_lr is not None:
+        sids, inv = sort_batch_ids(batch["action"])
+        aux["sids"], aux["inv"] = sids, inv
+        if family == "sarm":
+            diff["h0"] = {
+                "kernel": qh["kernel"][0], "bias": qh["bias"][0]
+            }
+            w_cols, b_cols = gather_qhead_cols(
+                qh["kernel"][1:], qh["bias"][1:], sids
+            )
+        else:
+            w_cols, b_cols = gather_qhead_cols(
+                qh["kernel"], qh["bias"], sids
+            )
+        diff["w_cols"], diff["b_cols"] = w_cols, b_cols
+    return diff, qh, emb, aux
+
+
+def _dense_part(diff):
+    """The sub-tree the dense optax Adam owns (matches the ``rest`` state
+    initialized by train.state's lazy builders)."""
+    return {k: diff[k] for k in ("rest", "h0") if k in diff}
+
+
+def _q_from_cols(h, diff, aux):
+    """(B, K) Q at the batch actions from the pre-gathered sorted columns
+    (inverse-permuted back to batch order inside autodiff — the cotangent
+    lands on the sorted columns, ready for the segment-sum dedupe)."""
+    w_cols = jnp.take(diff["w_cols"], aux["inv"], axis=2)  # (K, F, B)
+    b_cols = jnp.take(diff["b_cols"], aux["inv"], axis=1)  # (K, B)
+    return jnp.einsum("bf,kfb->bk", h, w_cols) + b_cols.T
+
+
+def _lazy_apply_updates(
+    p, diff, grads, qh, emb, aux, opt_state, opt, family, model_cfg, lazy, step,
+    batch,
+):
+    """Dense-Adam the ``rest`` tree, sparse-update the embedding rows and/or
+    Q-head columns, and reassemble the full param tree + opt state.
+
+    ``step`` is unused for the sparse bias corrections — those use the
+    PER-NET update count carried in the lazy opt state (matches dense
+    double-Q Adam, whose count advances only when its net is selected)."""
+    del step
+    cnt = opt_state["count"]
+    dense_g = _dense_part(grads)
+    if lazy.emb_lr is None:
+        dense_g = {**dense_g, "rest": _apply_grad_mask(dense_g["rest"], model_cfg)}
+    updates, new_rest_opt = opt.update(
+        dense_g, opt_state["rest"], _dense_part(diff)
+    )
+    new_dense = optax.apply_updates(_dense_part(diff), updates)
+    new_p = dict(new_dense["rest"])
+    new_opt = {"rest": new_rest_opt, "count": cnt + 1}
+
+    if lazy.emb_lr is not None:
+        frozen = (
+            None
+            if model_cfg.backbone.train_pad_embed
+            else model_cfg.backbone.padding_idx
+        )
+        new_emb, new_emb_state = emb_adam_update(
+            emb,
+            opt_state["emb"],
+            batch["state"].reshape(-1),
+            grads["x_emb"].reshape(-1, grads["x_emb"].shape[-1]),
+            cnt,
+            lr=lazy.emb_lr,
+            frozen_row=frozen,
+        )
+        new_p = merge_embedding(new_p, new_emb)
+        new_opt["emb"] = new_emb_state
+
+    if lazy.qh_lr is not None:
+        key = "q_head" if family == "sqn" else "q_heads"
+        if family == "sarm":
+            new_k, new_b, new_qh_state = sarm_qhead_update(
+                qh["kernel"],
+                qh["bias"],
+                new_dense["h0"]["kernel"],
+                new_dense["h0"]["bias"],
+                opt_state["qh"],
+                aux["sids"],
+                grads["w_cols"],
+                grads["b_cols"],
+                cnt,
+                lazy.qh_lr,
+                w_cols=diff["w_cols"],
+                b_cols=diff["b_cols"],
+            )
+        else:
+            new_k, new_b, new_qh_state = qhead_col_adam_update(
+                qh["kernel"],
+                qh["bias"],
+                opt_state["qh"],
+                aux["sids"],
+                grads["w_cols"],
+                grads["b_cols"],
+                cnt,
+                lazy.qh_lr,
+                w_cols=diff["w_cols"],
+                b_cols=diff["b_cols"],
+            )
+        new_p[key] = {"kernel": new_k, "bias": new_b}
+        new_opt["qh"] = new_qh_state
+    return new_p, new_opt
+
+
 def sqn_train_step(
     state: DoubleQState,
     batch: Dict[str, jax.Array],
@@ -434,6 +752,75 @@ def sqn_train_step(
 
     new_state, (sup_loss, q_loss) = _double_q_run(
         state, idx, loss_builder, model_cfg, opt, rl
+    )
+    return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
+
+
+def sqn_train_step_lazy(
+    state: DoubleQState,
+    batch: Dict[str, jax.Array],
+    model_cfg: ModelConfig,
+    opt: optax.GradientTransformation,
+    rl: RLStepConfig,
+    lazy: LazyCfg,
+) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
+    """SQN step with lazy embedding rows and/or lazy Q-head columns
+    (single-chip fused path only; see ``sqn_train_step`` for semantics —
+    the loss is identical, only the parameter/optimizer plumbing differs)."""
+    rng = jax.random.fold_in(state.rng, state.step)
+    idx = jax.random.bernoulli(rng).astype(jnp.int32)
+    boot_len = batch["true_len"] if rl.compat_boot_len_bug else batch["true_next_len"]
+    not_end = 1.0 - batch["is_end"].astype(jnp.float32)
+
+    def loss_builder(diff, ctx):
+        # under lazy_emb the table is split out of the diff tree; the
+        # (stop-gradient) next-state forwards read it from the closure
+        p_feat = (
+            merge_embedding(diff["rest"], ctx["emb"])
+            if lazy.emb_lr is not None
+            else diff["rest"]
+        )
+        h = apply_features(
+            diff["rest"], model_cfg, batch["state"], batch["true_len"],
+            inputs_embeds=diff.get("x_emb"),
+        ) if lazy.emb_lr is not None else apply_features(
+            p_feat, model_cfg, batch["state"], batch["true_len"]
+        )
+        sup_loss_f = _fused_sup_ce(
+            p_feat, model_cfg, h, batch["action"], batch["valid"]
+        )
+        if lazy.qh_lr is not None:
+            q = _q_from_cols(h, diff, ctx["aux"])[:, 0]
+        else:
+            q = row_logit(
+                h, diff["rest"]["q_head"]["kernel"],
+                diff["rest"]["q_head"]["bias"], batch["action"],
+            )
+        qh_full = ctx["qh_full"]
+        h_next = jax.lax.stop_gradient(
+            apply_features(
+                p_feat, model_cfg, batch["next_state"],
+                batch["true_next_len"],
+            )
+        )
+        max_a_next = fused_linear_argmax(
+            h_next, qh_full["kernel"], qh_full["bias"],
+            model_cfg.action_dim, model_cfg.head_precision,
+        )
+        p_boot = ctx["p_boot"]
+        qb = p_boot["q_head"]
+        h_next_boot = apply_features(
+            p_boot, model_cfg, batch["next_state"], boot_len
+        )
+        q_next_boot = jax.lax.stop_gradient(
+            row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
+        ) * not_end
+        td = batch["reward"] + rl.gamma * q_next_boot - q
+        q_loss = _masked_mean(td**2, batch["valid"])
+        return q_loss + sup_loss_f, (sup_loss_f, q_loss)
+
+    new_state, (sup_loss, q_loss) = _lazy_double_q_run(
+        state, idx, batch, "sqn", model_cfg, opt, lazy, loss_builder
     )
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
@@ -607,6 +994,119 @@ def smorl_train_step(
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 
+def smorl_train_step_lazy(
+    state: DoubleQState,
+    batch: Dict[str, jax.Array],
+    model_cfg: ModelConfig,
+    opt: optax.GradientTransformation,
+    rl: RLStepConfig,
+    lazy: LazyCfg,
+    div_embedding: jax.Array,
+    unpopular_mask: jax.Array,
+    out_to_in: Optional[jax.Array] = None,
+) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
+    """SMORL step with lazy embedding rows and/or lazy Q-head columns
+    (single-chip fused path only; loss semantics identical to
+    ``smorl_train_step``)."""
+    rng = jax.random.fold_in(state.rng, state.step)
+    idx = jax.random.bernoulli(rng).astype(jnp.int32)
+
+    K = model_cfg.num_q_heads
+    w = jnp.asarray(rl.q_weights[:K], dtype=jnp.float32)
+    boot_len = batch["true_len"] if rl.compat_boot_len_bug else batch["true_next_len"]
+    div_len = batch["true_next_len"] if rl.compat_div_len_bug else batch["true_len"]
+    not_end = 1.0 - batch["is_end"].astype(jnp.float32)
+    k_need = max(rl.topk_div if K >= 2 else 0, rl.topk_nov if K >= 3 else 0)
+
+    def loss_builder(diff, ctx):
+        p_feat = (
+            merge_embedding(diff["rest"], ctx["emb"])
+            if lazy.emb_lr is not None
+            else diff["rest"]
+        )
+        h = apply_features(
+            diff["rest"], model_cfg, batch["state"], batch["true_len"],
+            inputs_embeds=diff.get("x_emb"),
+        ) if lazy.emb_lr is not None else apply_features(
+            p_feat, model_cfg, batch["state"], batch["true_len"]
+        )
+        sh = diff["rest"]["sup_head"]
+        top_i = None
+        if k_need:
+            from ikea_recommender_tpu.ops.fused_ce import (
+                fused_softmax_ce_topk,
+            )
+
+            per_ce, top_i = fused_softmax_ce_topk(
+                h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                batch["action"], k_need, model_cfg.action_dim,
+                model_cfg.head_precision,
+            )
+            sup_loss = _masked_mean(per_ce, batch["valid"])
+        else:
+            sup_loss = _fused_sup_ce(
+                p_feat, model_cfg, h, batch["action"], batch["valid"]
+            )
+        if lazy.qh_lr is not None:
+            q = _q_from_cols(h, diff, ctx["aux"])  # (B, K)
+        else:
+            q = multihead_row_logit(
+                h, diff["rest"]["q_heads"]["kernel"],
+                diff["rest"]["q_heads"]["bias"], batch["action"],
+            )
+        qh_full = ctx["qh_full"]
+        h_next = jax.lax.stop_gradient(
+            apply_features(
+                p_feat, model_cfg, batch["next_state"],
+                batch["true_next_len"],
+            )
+        )
+        max_a_next = fused_weighted_multihead_argmax(
+            h_next, qh_full["kernel"], qh_full["bias"], w,
+            model_cfg.action_dim, model_cfg.head_precision,
+        )
+        p_boot = ctx["p_boot"]
+        qb = p_boot["q_heads"]
+        h_next_boot = apply_features(
+            p_boot, model_cfg, batch["next_state"], boot_len
+        )
+        q_next_boot = jax.lax.stop_gradient(
+            multihead_row_logit(
+                h_next_boot, qb["kernel"], qb["bias"], max_a_next
+            )
+        ) * not_end[:, None]
+
+        rewards = [batch["reward"]]
+        if K >= 2:
+            rewards.append(
+                diversity_from_topk(
+                    batch["state"],
+                    top_i[:, : rl.topk_div],
+                    div_len,
+                    rl.padding_pos,
+                    div_embedding,
+                    out_to_in=out_to_in,
+                )
+            )
+        if K >= 3:
+            rewards.append(
+                novelty_from_topk(
+                    top_i[:, : rl.topk_nov], unpopular_mask, rl.nov_rew_sig
+                )
+            )
+        r = jnp.stack(rewards, axis=1).astype(jnp.float32)  # (B, K)
+
+        td = (r + rl.gamma * q_next_boot - q) ** 2
+        q_loss = _masked_mean(weighted_q_loss(td, w), batch["valid"])
+        total = sup_loss + rl.alpha * q_loss
+        return total, (sup_loss, q_loss)
+
+    new_state, (sup_loss, q_loss) = _lazy_double_q_run(
+        state, idx, batch, "smorl", model_cfg, opt, lazy, loss_builder
+    )
+    return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
+
+
 # ---------------------------------------------------------------------------
 # SARM step (5 self-bootstrapped Q heads)
 # ---------------------------------------------------------------------------
@@ -722,6 +1222,92 @@ def sarm_train_step(
     return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
 
 
+def sarm_train_step_lazy(
+    state: TrainState,
+    batch: Dict[str, jax.Array],
+    model_cfg: ModelConfig,
+    opt: optax.GradientTransformation,
+    rl: RLStepConfig,
+    lazy: LazyCfg,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """SARM step with lazy embedding rows and/or lazy Q-head columns.
+
+    Head 0 doubles as the supervised head, so its gradient is DENSE (the
+    softmax-CE cotangent touches every column) — it keeps a dense Adam
+    (exposed to optax as the ``h0`` leaf of the dense tree); heads 1..4 are
+    pure TD and take the lazy-column path (train/lazy_adam.py:
+    ``sarm_qhead_update``). Loss semantics identical to ``sarm_train_step``."""
+    not_end = 1.0 - batch["is_end"].astype(jnp.float32)
+    K = model_cfg.num_q_heads
+
+    def loss_fn(diff, qh_full, emb, aux):
+        from ikea_recommender_tpu.ops.fused_topk import blockwise_multihead_max
+
+        p_feat = (
+            merge_embedding(diff["rest"], emb)
+            if lazy.emb_lr is not None
+            else diff["rest"]
+        )
+        h = apply_features(
+            diff["rest"], model_cfg, batch["state"], batch["true_len"],
+            inputs_embeds=diff.get("x_emb"),
+        ) if lazy.emb_lr is not None else apply_features(
+            p_feat, model_cfg, batch["state"], batch["true_len"]
+        )
+        if lazy.qh_lr is not None:
+            k0, b0 = diff["h0"]["kernel"], diff["h0"]["bias"]
+        else:
+            k0 = diff["rest"]["q_heads"]["kernel"][0]
+            b0 = diff["rest"]["q_heads"]["bias"][0]
+        per = fused_softmax_ce(
+            h.astype(jnp.float32), k0, b0, batch["action"],
+            model_cfg.action_dim, model_cfg.head_precision,
+        )
+        sup_loss = _masked_mean(per, batch["valid"])
+        if lazy.qh_lr is not None:
+            q0 = row_logit(h, k0, b0, batch["action"])  # dense head-0 grad
+            q_rest = _q_from_cols(h, diff, aux)  # (B, K-1) lazy columns
+            q = jnp.concatenate([q0[:, None], q_rest], axis=1)  # (B, K)
+        else:
+            q = multihead_row_logit(
+                h, diff["rest"]["q_heads"]["kernel"],
+                diff["rest"]["q_heads"]["bias"], batch["action"],
+            )
+        h_next = jax.lax.stop_gradient(
+            apply_features(
+                p_feat, model_cfg, batch["next_state"],
+                batch["true_next_len"],
+            )
+        )
+        q_next = blockwise_multihead_max(
+            h_next, qh_full["kernel"], qh_full["bias"], model_cfg.action_dim,
+            precision=model_cfg.head_precision,
+        )  # (B, K)
+        q_next = q_next * not_end[:, None]
+        td = (batch["reward"][:, None] + rl.sarm_gamma * q_next - q) ** 2
+        q_losses = jnp.sum(
+            td * batch["valid"][:, None].astype(td.dtype), axis=0
+        ) / jnp.maximum(jnp.sum(batch["valid"]), 1)
+        total = sup_loss + jnp.mean(q_losses)
+        return total, (sup_loss, jnp.mean(q_losses))
+
+    diff, qh, emb, aux = _lazy_diff_parts(
+        state.params, "sarm", model_cfg, lazy, batch
+    )
+    qh_full = qh if qh is not None else state.params["q_heads"]
+    (_, (sup_loss, q_loss)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(diff, qh_full, emb, aux)
+    new_p, new_opt = _lazy_apply_updates(
+        state.params, diff, grads, qh, emb, aux, state.opt_state, opt, "sarm",
+        model_cfg, lazy, state.step, batch,
+    )
+    new_state = state.replace(
+        params=new_p, opt_state=new_opt, step=state.step + 1
+    )
+    return new_state, {"sup_loss": sup_loss, "q_loss": q_loss}
+
+
 # ---------------------------------------------------------------------------
 # Factory: family -> jitted step
 # ---------------------------------------------------------------------------
@@ -759,6 +1345,7 @@ def make_train_step(
     unpopular_mask: Optional[jax.Array] = None,
     out_to_in: Optional[jax.Array] = None,
     lazy_embedding_lr: Optional[float] = None,
+    lazy_qhead_lr: Optional[float] = None,
     jit: bool = True,
     donate: bool = True,
     mesh=None,
@@ -766,8 +1353,10 @@ def make_train_step(
 ) -> TrainStep:
     """Build `step(state, batch) -> (state, metrics)` for the family.
 
-    ``lazy_embedding_lr``: enable lazy embedding Adam at this learning rate
-    (state must come from make_lazy_train_state; gru4rec/bidir only).
+    ``lazy_embedding_lr``: enable lazy (sparse-row) embedding Adam at this
+    learning rate. ``lazy_qhead_lr``: enable lazy (sparse-column) Q-head
+    Adam (sqn/smorl/sarm). Both need state from the matching lazy state
+    builders (train/state.py) and the single-chip fused path (no mesh).
 
     ``mesh`` + ``data_axis``: run the fused paths through the ACTION-SHARDED
     kernels (parallel/{fused_ce,q_kernels}.py) — the head columns must be
@@ -775,11 +1364,41 @@ def make_train_step(
     ``align = model-axis size``. Only meaningful with model_cfg.fused_ce."""
     fam = model_cfg.family
     aux: Dict[str, jax.Array] = {}
-    if lazy_embedding_lr is not None:
-        if fam not in ("gru4rec", "bidir_gru4rec"):
-            raise ValueError(
-                "optimizer='lazy_adam' currently supports gru4rec/bidir_gru4rec"
+    lazy = LazyCfg(emb_lr=lazy_embedding_lr, qh_lr=lazy_qhead_lr)
+    if lazy_qhead_lr is not None and fam not in ("sqn", "smorl", "sarm"):
+        raise ValueError("qhead_optimizer='lazy_adam' needs a Q family")
+    if lazy.on and fam not in ("gru4rec", "bidir_gru4rec"):
+        if mesh is not None:
+            raise ValueError("lazy optimizers are single-chip only (no mesh)")
+        if not model_cfg.fused_ce:
+            raise ValueError("lazy optimizers require the fused train path")
+        if fam == "sqn":
+            raw = lambda state, batch, aux: sqn_train_step_lazy(
+                state, batch, model_cfg, opt, rl, lazy
             )
+        elif fam == "smorl":
+            if div_embedding is None or unpopular_mask is None:
+                raise ValueError("SMORL needs div_embedding and unpopular_mask")
+            aux = {"div_embedding": div_embedding, "unpopular_mask": unpopular_mask}
+            if out_to_in is not None:
+                aux["out_to_in"] = out_to_in
+            raw = lambda state, batch, aux: smorl_train_step_lazy(
+                state,
+                batch,
+                model_cfg,
+                opt,
+                rl,
+                lazy,
+                div_embedding=aux["div_embedding"],
+                unpopular_mask=aux["unpopular_mask"],
+                out_to_in=aux.get("out_to_in"),
+            )
+        else:  # sarm
+            raw = lambda state, batch, aux: sarm_train_step_lazy(
+                state, batch, model_cfg, opt, rl, lazy
+            )
+        return TrainStep(raw, aux, jit=jit, donate=donate)
+    if lazy_embedding_lr is not None:
         raw = lambda state, batch, aux: ce_train_step_lazy(
             state, batch, model_cfg, opt, lazy_embedding_lr, mesh, data_axis
         )
