@@ -205,12 +205,21 @@ def detail():
         ("sqn", dict(fused_ce=True), "fused argmax+CE (default)"),
         ("sqn", dict(head_precision="highest"), "fused, fp32 head"),
         ("sqn", dict(fused_ce=False), "dense"),
+        ("sqn", dict(lazy_qh=True), "lazy-column Q-head Adam"),
+        ("sqn", dict(lazy_qh=True, mv_dtype="bfloat16",
+                     head_precision="default"), "fast preset (lazy-qh arm)"),
         ("smorl", dict(fused_ce=True), "fused argmax (default)"),
         ("smorl", dict(head_precision="highest"), "fused, fp32 head"),
         ("smorl", dict(fused_ce=False), "dense"),
+        ("smorl", dict(lazy_qh=True), "lazy-column Q-head Adam"),
+        ("smorl", dict(lazy_qh=True, mv_dtype="bfloat16",
+                       head_precision="default"), "fast preset (lazy-qh arm)"),
         ("sarm", dict(fused_ce=True), "fused CE+max (default)"),
         ("sarm", dict(head_precision="highest"), "fused, fp32 head"),
         ("sarm", dict(fused_ce=False), "dense"),
+        ("sarm", dict(lazy_qh=True), "lazy-column Q-head Adam"),
+        ("sarm", dict(lazy_qh=True, mv_dtype="bfloat16",
+                      head_precision="default"), "fast preset (lazy-qh arm)"),
     ]
     for model, kw, label in arms:
         step, state, batch_d = build(model=model, batch=batch, **kw)

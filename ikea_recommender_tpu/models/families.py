@@ -171,6 +171,43 @@ def mask_pad_logits(cfg: ModelConfig, logits: jax.Array) -> jax.Array:
     return jnp.concatenate([logits[..., : cfg.action_dim], neg], axis=-1)
 
 
+def canonicalize_qheads(params: Dict, cfg: ModelConfig) -> Dict:
+    """Lazy-optimizer states store the Q-head kernels ACTION-MAJOR
+    ((A, K*F) ``kernel_am``; SARM splits off its densely-updated head 0 —
+    train/lazy_adam.py). Transpose back to the canonical (K, F, A) layout
+    for consumers that expect it (the dense/toy-scale paths, exported
+    checkpoints) — a correctness-only conversion; the fused train/eval
+    kernels read action-major directly."""
+    from ikea_recommender_tpu.train.lazy_adam import from_action_major
+
+    fam = cfg.family
+    if fam == "sqn" and "kernel_am" in params.get("q_head", {}):
+        k = from_action_major(params["q_head"]["kernel_am"], 1)[0]
+        params = {
+            **params,
+            "q_head": {"kernel": k, "bias": params["q_head"]["bias"]},
+        }
+    elif fam == "smorl" and "kernel_am" in params.get("q_heads", {}):
+        k = from_action_major(
+            params["q_heads"]["kernel_am"], cfg.num_q_heads
+        )
+        params = {
+            **params,
+            "q_heads": {"kernel": k, "bias": params["q_heads"]["bias"]},
+        }
+    elif fam == "sarm" and "kernel0" in params.get("q_heads", {}):
+        qh = params["q_heads"]
+        krest = from_action_major(qh["kernel_am"], cfg.num_q_heads - 1)
+        params = {
+            **params,
+            "q_heads": {
+                "kernel": jnp.concatenate([qh["kernel0"][None], krest], 0),
+                "bias": jnp.concatenate([qh["bias0"][None], qh["bias_rest"]], 0),
+            },
+        }
+    return params
+
+
 def apply_model(
     params: Dict,
     cfg: ModelConfig,
@@ -187,6 +224,7 @@ def apply_model(
     smorl: (sup_logits, q_all (B, K, A))
     sarm:  (head_0, ..., head_4) each (B, A)
     """
+    params = canonicalize_qheads(params, cfg)
     h = apply_features(
         params, cfg, states, lengths,
         dropout_rng=dropout_rng, deterministic=deterministic,

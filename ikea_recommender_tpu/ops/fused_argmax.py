@@ -46,7 +46,7 @@ def _block(A: int, B: int = 256) -> int:
 
 
 def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, max_ref,
-                   m_acc, i_acc, *, block: int, prec):
+                   m_acc, i_acc, *, block: int, prec, am: bool = False):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -54,7 +54,8 @@ def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, max_ref,
         m_acc[:] = jnp.full_like(m_acc, _NEG)
         i_acc[:] = jnp.zeros_like(i_acc)
 
-    logits = _dot(h_ref[:], w_ref[:], prec) + b_ref[:]  # (B, BLK)
+    # w block (F, BLK) canonical, or (BLK, F) action-major (transposed dot)
+    logits = _dot(h_ref[:], w_ref[:], prec, transpose_b=am) + b_ref[:]
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     logits = jnp.where(col < valid_ref[0, 0], logits, _NEG)
 
@@ -76,33 +77,43 @@ def _argmax_kernel(valid_ref, h_ref, w_ref, b_ref, out_ref, max_ref,
 
 
 def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest",
-                        with_max: bool = False):
+                        with_max: bool = False, action_major: bool = False):
     """argmax over a linear head: (B, F) x (F, A) -> (B,) int32 action ids.
 
     Identical to ``jnp.argmax(h @ w + b masked to valid_dim, axis=1)``
     including lowest-id tie-breaking. NOT differentiable (use under
     stop_gradient — as all consumers do). ``with_max=True`` additionally
     returns the (B,) max logit — the exact kernel-computed value, which the
-    action-sharded merge compares across shards (parallel/q_kernels.py)."""
+    action-sharded merge compares across shards (parallel/q_kernels.py).
+    ``action_major=True``: w is the lazy-optimizer (A, F) layout
+    (train/lazy_adam.py) — blocks stream as (BLK, F) with a transposed
+    MXU dot, no relayout of the 54MB head."""
     # argmax is piecewise-constant: zero tangent everywhere. Stop gradients
     # BEFORE the pallas_call (which has no JVP rule) so callers may pass
     # differentiated params.
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))
     B, F = h.shape
-    A = w.shape[1]
+    A = w.shape[0] if action_major else w.shape[1]
     blk = _block(A, B)
     grid = pl.cdiv(A, blk)
     # No w/b padding to a block multiple: the edge tile's unspecified tail
     # values are rejected by the in-kernel ``col < valid_dim`` mask before
     # any reduce (same rationale as ops/fused_ce.py:_fwd).
-    kern = functools.partial(_argmax_kernel, block=blk, prec=precision)
+    kern = functools.partial(
+        _argmax_kernel, block=blk, prec=precision, am=action_major
+    )
+    w_spec = (
+        pl.BlockSpec((blk, F), lambda j: (j, 0), memory_space=pltpu.VMEM)
+        if action_major
+        else pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM)
+    )
     out, mx = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -131,7 +142,8 @@ def fused_linear_argmax(h, w, b, valid_dim, precision: str = "highest",
 
 
 def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref, max_ref,
-                    m_acc, i_acc, *, block: int, K: int, prec):
+                    m_acc, i_acc, *, block: int, K: int, prec,
+                    am: bool = False, F: int = 0):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -139,10 +151,11 @@ def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref, max_ref,
         m_acc[:] = jnp.full_like(m_acc, _NEG)
         i_acc[:] = jnp.zeros_like(i_acc)
 
-    # w block layout (K, F, BLK); weighted head sum
+    # w block layout (K, F, BLK), or (BLK, K*F) action-major
     wsum = jnp.zeros((h_ref.shape[0], block), jnp.float32)
     for k in range(K):  # K is tiny (<=5), static unroll
-        logits_k = _dot(h_ref[:], w_ref[k], prec) + b_ref[k]
+        wk = w_ref[:, k * F:(k + 1) * F] if am else w_ref[k]
+        logits_k = _dot(h_ref[:], wk, prec, transpose_b=am) + b_ref[k]
         wsum = wsum + qw_ref[0, k] * logits_k
     col = j * block + jax.lax.broadcasted_iota(jnp.int32, wsum.shape, 1)
     wsum = jnp.where(col < valid_ref[0, 0], wsum, _NEG)
@@ -165,27 +178,38 @@ def _wargmax_kernel(valid_ref, h_ref, w_ref, b_ref, qw_ref, out_ref, max_ref,
 
 def fused_weighted_multihead_argmax(h, w, b, q_weights, valid_dim,
                                     precision: str = "highest",
-                                    with_max: bool = False):
+                                    with_max: bool = False,
+                                    action_major: bool = False):
     """SMORL target action: argmax_a sum_k q_weights[k] * (h @ w[:,k,:] + b[k])
     without materializing any (B, K, A) logits.
 
-    w: (K, F, A) stacked head kernel (models/heads.py layout); b: (K, A).
-    Returns (B,) int32 (+ the (B,) max weighted sum if ``with_max``).
-    NOT differentiable."""
+    w: (K, F, A) stacked head kernel (models/heads.py layout), or the lazy
+    optimizer's (A, K*F) action-major layout (``action_major=True``);
+    b: (K, A). Returns (B,) int32 (+ the (B,) max weighted sum if
+    ``with_max``). NOT differentiable."""
     h, w, b = map(jax.lax.stop_gradient, (h, w, b))  # see fused_linear_argmax
     B, F = h.shape
-    K, _, A = w.shape
+    K = b.shape[0]
+    A = w.shape[0] if action_major else w.shape[2]
     blk = _block(A, B * K)
     grid = pl.cdiv(A, blk)
     # No w/b padding — see fused_linear_argmax.
-    kern = functools.partial(_wargmax_kernel, block=blk, K=K, prec=precision)
+    kern = functools.partial(
+        _wargmax_kernel, block=blk, K=K, prec=precision,
+        am=action_major, F=F,
+    )
+    w_spec = (
+        pl.BlockSpec((blk, K * F), lambda j: (j, 0), memory_space=pltpu.VMEM)
+        if action_major
+        else pl.BlockSpec((K, F, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
+    )
     out, mx = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((B, F), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, F, blk), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((K, blk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ],

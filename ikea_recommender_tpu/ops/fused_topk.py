@@ -224,6 +224,62 @@ def blockwise_multihead_max(
     return m
 
 
+def blockwise_multihead_max_am(
+    h: jax.Array,  # (B, F)
+    kernel_am: jax.Array,  # (A_pad, K*F) action-major (train/lazy_adam.py)
+    bias: jax.Array,  # (K, A_pad)
+    action_dim: int,
+    block_cols: int = DEFAULT_BLOCK_COLS,
+    precision: str | None = None,
+) -> jax.Array:
+    """``blockwise_multihead_max`` over the lazy optimizer's action-major
+    kernel layout: weight blocks stream as (BLK, K*F) rows with a
+    transposed MXU dot — no relayout of the head."""
+    prec_map = {
+        None: matmul_precision(h.dtype),
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }
+    mm_prec = prec_map[precision]
+    h, kernel_am, bias = map(jax.lax.stop_gradient, (h, kernel_am, bias))
+    B, F = h.shape
+    A_pad, KF = kernel_am.shape
+    K = KF // F
+    block_cols = min(block_cols, A_pad)
+    n_blocks = -(-A_pad // block_cols)
+    pad_to = n_blocks * block_cols
+    if pad_to != A_pad:
+        kernel_am = jnp.pad(kernel_am, ((0, pad_to - A_pad), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad_to - A_pad)))
+
+    dn = (((1,), (1,)), ((), ()))  # contract F with F (rhs transposed)
+
+    def body(m, j):
+        start = j * block_cols
+        cols = start + jnp.arange(block_cols, dtype=jnp.int32)
+        ok = (cols < action_dim) & (cols < A_pad)
+        wb = jax.lax.dynamic_slice(
+            kernel_am, (start, 0), (block_cols, KF)
+        )  # (BLK, K*F)
+        outs = []
+        for k in range(K):
+            logits = (
+                jax.lax.dot_general(
+                    h, wb[:, k * F:(k + 1) * F], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32, precision=mm_prec,
+                )
+                + jax.lax.dynamic_slice(bias, (k, start), (1, block_cols))[0]
+            )
+            logits = jnp.where(ok[None, :], logits, _NEG)
+            outs.append(jnp.max(logits, axis=1))
+        return jnp.maximum(m, jnp.stack(outs, axis=1)), None
+
+    init = jnp.full((B, K), _NEG, jnp.float32)
+    m, _ = jax.lax.scan(body, init, jnp.arange(n_blocks, dtype=jnp.int32))
+    return m
+
+
 def eval_head(params: Dict, model_cfg, head_idx: int) -> Tuple[jax.Array, jax.Array]:
     """(kernel (F, A_pad), bias (A_pad,)) of the head the eval protocol
     scores with (reference ``evaluate/eval_protocol.py:103-120`` selects the
@@ -232,6 +288,15 @@ def eval_head(params: Dict, model_cfg, head_idx: int) -> Tuple[jax.Array, jax.Ar
     fam = model_cfg.family
     if fam == "sarm":
         mh = params["q_heads"]
+        if "kernel0" in mh:  # lazy action-major SARM state (train/lazy_adam)
+            if head_idx == 0:
+                return mh["kernel0"], mh["bias0"]
+            from ikea_recommender_tpu.train.lazy_adam import from_action_major
+
+            krest = from_action_major(
+                mh["kernel_am"], mh["bias_rest"].shape[0]
+            )
+            return krest[head_idx - 1], mh["bias_rest"][head_idx - 1]
         return mh["kernel"][head_idx], mh["bias"][head_idx]
     if head_idx == 0:
         return params["sup_head"]["kernel"], params["sup_head"]["bias"]

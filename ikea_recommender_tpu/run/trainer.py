@@ -470,6 +470,10 @@ def train(
             raise ValueError("lazy optimizers are single-chip only (no mesh)")
         if t_cfg.double_q_optimizers == 1:
             raise ValueError("lazy optimizers need double_q_optimizers=2")
+    if lazy_qh and family == "sqn" and t_cfg.head_idx not in (0,):
+        # eval_head would need the canonical (F, A) q-head kernel, which the
+        # lazy state stores action-major (train/lazy_adam.py)
+        raise ValueError("qhead_optimizer='lazy_adam' requires head_idx=0")
     multiprocess = jax.process_count() > 1
     proc_sharded = (
         p_cfg.process_sharded
@@ -590,17 +594,21 @@ def train(
     ckpt_mngr = None
     start_epoch = 0
     if t_cfg.checkpoint_dir:
-        if multiprocess:
-            raise NotImplementedError(
-                "checkpoint/resume is not yet wired for multi-process runs"
-            )
+        # orbax is multi-host native: every process calls save/restore; the
+        # manager coordinates via jax.distributed barriers and each process
+        # writes its addressable shards (a shared checkpoint path — NFS or
+        # object store — is assumed, as in any orbax multi-host deployment).
         ckpt_mngr = CheckpointManager(t_cfg.checkpoint_dir)
         if t_cfg.resume:
             restored = ckpt_mngr.restore(state)
             if restored is not None:
                 state = restored
                 start_epoch = int(ckpt_mngr.latest_step())
-                print(f"[resume] restored checkpoint, continuing at epoch {start_epoch}")
+                if jax.process_index() == 0:
+                    print(
+                        f"[resume] restored checkpoint, continuing at epoch "
+                        f"{start_epoch}"
+                    )
 
     if mesh is not None and not multiprocess:
         from ikea_recommender_tpu.parallel.sharding import shard_state

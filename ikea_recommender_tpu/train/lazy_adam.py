@@ -132,7 +132,8 @@ def emb_adam_update(
 
 
 # ---------------------------------------------------------------------------
-# Lazy-COLUMN Adam for the Q heads (the transpose of the row treatment)
+# Lazy-column Q-head Adam, stored ACTION-MAJOR (the transpose of the row
+# treatment, laid out so the sparse updates ARE row updates)
 # ---------------------------------------------------------------------------
 #
 # The Q-head TD gradient touches only the B batch-action columns of the
@@ -141,36 +142,51 @@ def emb_adam_update(
 # ~414us after) and streams the full (K, F, A) m/v/param arrays (~470us
 # measured in isolation; docs/performance.md "Remaining headroom").
 #
-# The lazy-column path never forms a dense dW: the step gathers the SORTED
-# action columns outside autodiff (sorted minor-axis gathers are ~10x
-# cheaper than unsorted on this chip — scripts/bench_col_scatter.py), the
-# cotangent arrives as per-slot columns (K, F, B), duplicates are merged by
-# segment-sum over the sorted runs, and only the touched columns' param +
-# moment slices move (~20us scatters). Same lazy semantics as the row
-# variant: moment decay applies only when a column is touched (untouched
-# columns' params also hold still, where dense Adam lets them ring down
-# under momentum) — opt-in via ``TrainConfig.qhead_optimizer``, accuracy-
-# gated e2e in tests/test_lazy_qhead.py.
+# Layout is the whole game on this chip (measured, scripts/bench_col_scatter.py
+# + the r4 layout hunt in docs/performance.md): column scatters into an
+# A-minor buffer are fast only while XLA can pin the buffer in VMEM (hard
+# cliff at ~109MB; in a real train step nothing gets pinned) — an
+# HBM-resident column scatter of B=256 ids costs ~300-450us per buffer,
+# while ROW gathers/scatters of B contiguous rows are ~20-60us wherever the
+# buffer lives. So the lazy Q-head state keeps EVERYTHING action-major:
+#
+#   kernel_am : (A, K*F)        row a = all heads' weight columns for action a
+#   bias      : (K, A)          (tiny; 2D trailing-axis scatter is fine)
+#   mv        : (A, K*2*(F+1))  packed [m_w, m_b, v_w, v_b] per head
+#
+# The fused argmax/max kernels read kernel_am directly (action-major block
+# specs in ops/fused_argmax.py / ops/fused_topk.py); non-fused consumers
+# (toy-scale dense eval, apply_model) transpose on the fly — a
+# correctness-only path. Same lazy semantics as the row variant: moment
+# decay applies only when a column is touched — opt-in via
+# ``TrainConfig.qhead_optimizer``, accuracy-gated e2e in
+# tests/test_lazy_qhead.py.
 
 
 @struct.dataclass
 class ColAdamState:
-    # (A, K * 2*(F+1)) — ACTION-MAJOR: row a holds head k's packed
-    # [m_w (F), m_b, v_w (F), v_b] for its column. Row gathers/scatters of
-    # B contiguous ~KB rows stay fast wherever the buffer lives (HBM row
-    # writes are sequential); every minor-axis (column) layout measured
-    # either VMEM-dependent or relayout-copy pathologies (see
-    # scripts/bench_col_scatter.py + the r4 cliff notes in
-    # docs/performance.md). ONE gather + ONE scatter per step covers both
-    # moments of kernel and bias together.
-    mv: jax.Array
+    mv: jax.Array  # (A, K * 2*(F+1)) action-major packed moments
 
 
-def init_col_adam(kernel: jax.Array, bias: jax.Array) -> ColAdamState:
-    """kernel (K, F, A) or (F, A); bias (K, A) or (A,)."""
+def to_action_major(kernel: jax.Array) -> jax.Array:
+    """(K, F, A) or (F, A) canonical head kernel -> (A, K*F) kernel_am."""
     k3 = kernel if kernel.ndim == 3 else kernel[None]
     K, F, A = k3.shape
-    return ColAdamState(mv=jnp.zeros((A, K * 2 * (F + 1)), k3.dtype))
+    return k3.reshape(K * F, A).T.reshape(A, K * F)
+
+
+def from_action_major(kernel_am: jax.Array, K: int) -> jax.Array:
+    """(A, K*F) -> canonical (K, F, A) (or (F, A) when K == 1... callers
+    keep the K axis; squeeze at the call site if needed)."""
+    A, KF = kernel_am.shape
+    F = KF // K
+    return kernel_am.T.reshape(K, F, A)
+
+
+def init_col_adam(kernel_am: jax.Array, K: int) -> ColAdamState:
+    A, KF = kernel_am.shape
+    F = KF // K
+    return ColAdamState(mv=jnp.zeros((A, K * 2 * (F + 1)), kernel_am.dtype))
 
 
 def sort_batch_ids(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -181,190 +197,96 @@ def sort_batch_ids(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return sids, inv
 
 
-def _take_cols2d(arr3: jax.Array, ids: jax.Array) -> jax.Array:
-    """(K, C, A) -> (K, C, n) column gather THROUGH A 2D VIEW.
-
-    jnp's 3D mixed indexing (``arr[:, :, ids]`` / ``.at[:, :, ids]``) makes
-    XLA materialize transpose copies of the full operand around the
-    gather/scatter (measured: 2 x full-buffer copies per op at the
-    (K, 130, 70852) moment buffer — hundreds of us). The contiguous
-    (K*C, A) reshape is free and the 2D trailing-axis form lowers to a
-    clean in-place gather/scatter."""
-    K, C, A = arr3.shape
-    return jnp.take(arr3.reshape(K * C, A), ids, axis=1).reshape(K, C, -1)
-
-
-def _set_cols2d(arr3: jax.Array, ids: jax.Array, vals3: jax.Array) -> jax.Array:
-    """(K, C, A).at[:, :, ids].set(vals) through the 2D view (see
-    ``_take_cols2d``)."""
-    K, C, A = arr3.shape
-    flat = arr3.reshape(K * C, A).at[:, ids].set(vals3.reshape(K * C, -1))
-    return flat.reshape(K, C, A)
-
-
-def gather_qhead_cols(
-    kernel: jax.Array, bias: jax.Array, sids: jax.Array
+def gather_qhead_rows(
+    kernel_am: jax.Array,  # (A, K*F)
+    bias: jax.Array,  # (K, A) or (A,)
+    ids: jax.Array,  # (n,) action ids (any order)
+    K: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """SORTED action columns of the head: ((K, F, B), (K, B))."""
-    k3 = kernel if kernel.ndim == 3 else kernel[None]
+    """((n, K, F) weight rows, (K, n) bias entries) at the given actions."""
     b2 = bias if bias.ndim == 2 else bias[None]
-    return _take_cols2d(k3, sids), jnp.take(b2, sids, axis=1)
+    n = ids.shape[0]
+    rows = jnp.take(kernel_am, ids, axis=0).reshape(n, K, -1)
+    return rows, jnp.take(b2, ids, axis=1)
 
 
-def _dedupe_sorted_colgrads(sids: jax.Array, g: jax.Array) -> jax.Array:
+def q_from_rows(h: jax.Array, rows: jax.Array, b_cols: jax.Array) -> jax.Array:
+    """(B, K) Q values: rows (B, K, F) gathered at each example's action."""
+    return jnp.einsum("bf,bkf->bk", h, rows) + b_cols.T
+
+
+def _dedupe_sorted_rowgrads(sids: jax.Array, g: jax.Array) -> jax.Array:
     """Merge duplicate SORTED ids: every slot of an equal-id run receives
-    the FULL summed gradient (K, C, B) -> (K, C, B). Duplicate scatters
-    then write identical values — no sentinel/drop machinery needed."""
-    K, C, B = g.shape
+    the FULL summed gradient; duplicate scatters then write identical
+    values (no sentinel/drop machinery needed). g: (B, C) -> (B, C)."""
     new_seg = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), (sids[1:] != sids[:-1]).astype(jnp.int32)]
     )
     seg = jnp.cumsum(new_seg)  # (B,)
-    gsum = jax.ops.segment_sum(
-        g.reshape(K * C, B).T, seg, num_segments=B
-    )  # (B, K*C)
-    return gsum[seg].T.reshape(K, C, B)
+    gsum = jax.ops.segment_sum(g, seg, num_segments=g.shape[0])
+    return gsum[seg]
 
 
-def _col_adam_math(
-    mv_cols: jax.Array,  # (K, 2(F+1), B) gathered moment columns
-    g: jax.Array,  # (K, F+1, B) dedupe-summed [kernel|bias] column grads
-    step: jax.Array,
-    lr: float,
-    b1: float,
-    b2: float,
-    eps: float,
-) -> Tuple[jax.Array, jax.Array]:
-    """-> (param update (K, F+1, B), new packed moments (K, 2(F+1), B))."""
-    C = g.shape[1]
-    m = mv_cols[:, :C].astype(jnp.float32)
-    v = mv_cols[:, C:].astype(jnp.float32)
-    m2 = b1 * m + (1.0 - b1) * g
-    v2 = b2 * v + (1.0 - b2) * g * g
-    t = (step + 1).astype(jnp.float32)
-    upd = lr * (m2 / (1.0 - b1**t)) / (jnp.sqrt(v2 / (1.0 - b2**t)) + eps)
-    return upd, jnp.concatenate([m2, v2], axis=1)
-
-
-def qhead_col_adam_update(
-    kernel: jax.Array,  # (K, F, A) or (F, A)
+def qhead_row_adam_update(
+    kernel_am: jax.Array,  # (A, K*F)
     bias: jax.Array,  # (K, A) or (A,)
     state: ColAdamState,
     sids: jax.Array,  # (B,) SORTED action ids (duplicates ok)
-    g_wcols: jax.Array,  # (K, F, B) dL/d(sorted kernel columns)
+    g_wrows: jax.Array,  # (B, K, F) dL/d(sorted kernel rows)
     g_bcols: jax.Array,  # (K, B) dL/d(sorted bias entries)
-    step: jax.Array,  # int32 global step (0-based; bias corr uses step+1)
+    step: jax.Array,  # int32 count BEFORE this update (bias corr uses +1)
     lr: float,
     *,
-    w_cols: Optional[jax.Array] = None,  # pre-gathered sorted cols (reuse
-    b_cols: Optional[jax.Array] = None,  # the forward's gather)
+    w_rows: Optional[jax.Array] = None,  # pre-gathered (B, K, F) sorted rows
+    b_cols: Optional[jax.Array] = None,  # (K, B)
     selected: Optional[jax.Array] = None,  # scalar bool; False -> identity
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
 ) -> Tuple[jax.Array, jax.Array, ColAdamState]:
-    """``selected``: double-Q predication. The (K, F, A)-class buffers must
-    NOT flow through the double-Q ``lax.cond`` — XLA's conditional copy
-    insertion materializes full copies of every large buffer a branch
-    passes through (measured ~220us/step of pure copies at the RetailRocket
-    SMORL point). Instead the step updates BOTH nets' columns outside the
-    cond, with the unselected net's scatter writing back its own gathered
-    values (an identity write of B columns, ~20us)."""
-    squeeze = kernel.ndim == 2
-    k3 = kernel if not squeeze else kernel[None]
-    bs = bias if bias.ndim == 2 else bias[None]
-    K, F, A = k3.shape
-
-    g = jnp.concatenate(
-        [g_wcols, g_bcols[:, None, :]], axis=1
-    ).astype(jnp.float32)  # (K, F+1, B)
-    g = _dedupe_sorted_colgrads(sids, g)
+    """``selected``: double-Q predication — the big buffers must stay OUT
+    of the double-Q ``lax.cond`` (XLA conditional copy insertion
+    materializes full pass-through copies), so the step updates BOTH nets
+    outside the cond and the unselected net performs identity writes."""
+    squeeze = bias.ndim == 1
+    b2_ = bias if bias.ndim == 2 else bias[None]
+    A = kernel_am.shape[0]
     B = sids.shape[0]
-    mv_cols = (
-        jnp.take(state.mv, sids, axis=0)  # (B, K*2(F+1)) contiguous rows
-        .reshape(B, K, 2 * (F + 1))
-        .transpose(1, 2, 0)
-    )
-    upd, mv2 = _col_adam_math(mv_cols, g, step, lr, b1, b2, eps)
+    K = b2_.shape[0]
+    F = kernel_am.shape[1] // K
+
+    # pack [w grads | bias grad] per (row, head): (B, K*(F+1))
+    g = jnp.concatenate(
+        [g_wrows, g_bcols.T[:, :, None]], axis=2
+    ).astype(jnp.float32).reshape(B, K * (F + 1))
+    g = _dedupe_sorted_rowgrads(sids, g)
+
+    mv_rows = jnp.take(state.mv, sids, axis=0).astype(jnp.float32)  # (B, 2C)
+    C = K * (F + 1)
+    m = mv_rows[:, :C]
+    v = mv_rows[:, C:]
+    m2 = b1 * m + (1.0 - b1) * g
+    v2 = b2 * v + (1.0 - b2) * g * g
+    t = (step + 1).astype(jnp.float32)
+    upd = lr * (m2 / (1.0 - b1**t)) / (jnp.sqrt(v2 / (1.0 - b2**t)) + eps)
     if selected is not None:
         upd = jnp.where(selected, upd, 0.0)
-        mv2 = jnp.where(selected, mv2, mv_cols)
+        m2 = jnp.where(selected, m2, m)
+        v2 = jnp.where(selected, v2, v)
 
-    if w_cols is None or b_cols is None:
-        w_cols, b_cols = gather_qhead_cols(k3, bs, sids)
-    new_w_cols = w_cols.astype(jnp.float32) - upd[:, :F]
-    new_b_cols = b_cols.astype(jnp.float32) - upd[:, F]
+    if w_rows is None or b_cols is None:
+        w_rows, b_cols = gather_qhead_rows(kernel_am, b2_, sids, K)
+    upd = upd.reshape(B, K, F + 1)
+    new_w_rows = w_rows.astype(jnp.float32) - upd[:, :, :F]
+    new_b_cols = b_cols.astype(jnp.float32) - upd[:, :, F].T
 
-    new_kernel = _set_cols2d(k3, sids, new_w_cols.astype(k3.dtype))
-    new_bias = bs.at[:, sids].set(new_b_cols.astype(bs.dtype))
+    new_kernel = kernel_am.at[sids, :].set(
+        new_w_rows.reshape(B, K * F).astype(kernel_am.dtype)
+    )
+    new_bias = b2_.at[:, sids].set(new_b_cols.astype(b2_.dtype))
     new_mv = state.mv.at[sids, :].set(
-        mv2.transpose(2, 0, 1).reshape(B, K * 2 * (F + 1)).astype(state.mv.dtype)
+        jnp.concatenate([m2, v2], axis=1).astype(state.mv.dtype)
     )
     if squeeze:
-        new_kernel = new_kernel[0]
-    if bias.ndim == 1:
         new_bias = new_bias[0]
-    return new_kernel, new_bias, ColAdamState(mv=new_mv)
-
-
-def sarm_qhead_update(
-    kernel: jax.Array,  # (K, F, A) full SARM head stack
-    bias: jax.Array,  # (K, A)
-    new_k0: jax.Array,  # (F, A) head 0 after its DENSE Adam update (the CE
-    new_b0: jax.Array,  # (A,)   gradient is dense over all columns)
-    state: ColAdamState,  # moments for heads 1..K-1: ((K-1), 2(F+1), A)
-    sids: jax.Array,  # (B,) SORTED action ids
-    g_wcols: jax.Array,  # (K-1, F, B) TD grads of heads 1..K-1 sorted cols
-    g_bcols: jax.Array,  # (K-1, B)
-    step: jax.Array,
-    lr: float,
-    *,
-    w_cols: Optional[jax.Array] = None,
-    b_cols: Optional[jax.Array] = None,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-8,
-) -> Tuple[jax.Array, jax.Array, ColAdamState]:
-    """SARM split update: head 0 (supervised CE + TD — dense gradient) is
-    Adam-updated densely by the caller; heads 1..K-1 (pure TD — sparse
-    column gradient) go through the lazy-column path. One whole-plane write
-    installs head 0 and ONE all-head column scatter installs the lazy
-    columns (head 0's scatter slots carry its freshly-updated values, so
-    the scatter never clobbers the dense update)."""
-    K, F, A = kernel.shape
-    g = jnp.concatenate(
-        [g_wcols, g_bcols[:, None, :]], axis=1
-    ).astype(jnp.float32)  # (K-1, F+1, B)
-    g = _dedupe_sorted_colgrads(sids, g)
-    B = sids.shape[0]
-    mv_cols = (
-        jnp.take(state.mv, sids, axis=0)
-        .reshape(B, K - 1, 2 * (F + 1))
-        .transpose(1, 2, 0)
-    )
-    upd, mv2 = _col_adam_math(mv_cols, g, step, lr, b1, b2, eps)
-
-    if w_cols is None or b_cols is None:
-        w_cols, b_cols = gather_qhead_cols(kernel, bias, sids)
-        w_cols, b_cols = w_cols[1:], b_cols[1:]
-    new_w_cols = w_cols.astype(jnp.float32) - upd[:, :F]
-    new_b_cols = b_cols.astype(jnp.float32) - upd[:, F]
-
-    all_w_cols = jnp.concatenate(
-        [jnp.take(new_k0, sids, axis=1)[None], new_w_cols.astype(kernel.dtype)],
-        axis=0,
-    )  # (K, F, B)
-    all_b_cols = jnp.concatenate(
-        [jnp.take(new_b0, sids)[None], new_b_cols.astype(bias.dtype)], axis=0
-    )  # (K, B)
-    # head-0 plane write through the 2D view (rows 0..F-1 of (K*F, A)),
-    # then ONE all-head column scatter whose head-0 slots carry the fresh
-    # dense values — ordering keeps both writes in place.
-    flat = kernel.reshape(K * F, A).at[:F, :].set(new_k0)
-    flat = flat.at[:, sids].set(all_w_cols.reshape(K * F, -1))
-    new_kernel = flat.reshape(K, F, A)
-    new_bias = bias.at[0].set(new_b0).at[:, sids].set(all_b_cols)
-    new_mv = state.mv.at[sids, :].set(
-        mv2.transpose(2, 0, 1).reshape(B, (K - 1) * 2 * (F + 1)).astype(state.mv.dtype)
-    )
     return new_kernel, new_bias, ColAdamState(mv=new_mv)

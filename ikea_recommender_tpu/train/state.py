@@ -226,6 +226,44 @@ def split_qhead(params: Any, family: str) -> Tuple[Any, Any]:
     return params[key], rest
 
 
+def lazy_qhead_params(params: Any, family: str) -> Any:
+    """Replace the canonical Q-head leaf with the ACTION-MAJOR lazy layout
+    (train/lazy_adam.py): ``kernel_am`` (A, K*F). SARM splits off head 0
+    (supervised CE makes its gradient dense, so it keeps a dense Adam).
+    ``models.families.canonicalize_qheads`` is the inverse for consumers
+    that need (K, F, A)."""
+    from ikea_recommender_tpu.train.lazy_adam import to_action_major
+
+    if family == "sqn":
+        qh = params["q_head"]
+        return {
+            **params,
+            "q_head": {
+                "kernel_am": to_action_major(qh["kernel"]),
+                "bias": qh["bias"],
+            },
+        }
+    if family == "smorl":
+        qh = params["q_heads"]
+        return {
+            **params,
+            "q_heads": {
+                "kernel_am": to_action_major(qh["kernel"]),
+                "bias": qh["bias"],
+            },
+        }
+    qh = params["q_heads"]  # sarm
+    return {
+        **params,
+        "q_heads": {
+            "kernel0": qh["kernel"][0],
+            "bias0": qh["bias"][0],
+            "kernel_am": to_action_major(qh["kernel"][1:]),
+            "bias_rest": qh["bias"][1:],
+        },
+    }
+
+
 def _lazy_net_opt_state(
     opt: optax.GradientTransformation,
     params: Any,
@@ -236,7 +274,8 @@ def _lazy_net_opt_state(
     """Per-net opt state for the lazy paths: {"rest": optax-on-dense-part,
     "emb"?: EmbAdamState, "qh"?: ColAdamState}. The dense part mirrors
     steps._dense_part: the remainder tree under "rest" plus, for SARM's
-    densely-updated head 0, an "h0" leaf."""
+    densely-updated head 0, an "h0" leaf. ``params`` must already carry the
+    action-major lazy layout (``lazy_qhead_params``) when lazy_qh."""
     from ikea_recommender_tpu.train.lazy_adam import init_col_adam, init_emb_adam
 
     rest = params
@@ -247,12 +286,15 @@ def _lazy_net_opt_state(
     if lazy_qh:
         qh, rest = split_qhead(rest, family)
         if family == "sarm":
-            st["qh"] = init_col_adam(qh["kernel"][1:], qh["bias"][1:])
+            st["qh"] = init_col_adam(
+                qh["kernel_am"], qh["bias_rest"].shape[0]
+            )
         else:
-            st["qh"] = init_col_adam(qh["kernel"], qh["bias"])
+            K = qh["bias"].shape[0] if qh["bias"].ndim == 2 else 1
+            st["qh"] = init_col_adam(qh["kernel_am"], K)
     dense = {"rest": rest}
     if lazy_qh and family == "sarm":
-        dense["h0"] = {"kernel": qh["kernel"][0], "bias": qh["bias"][0]}
+        dense["h0"] = {"kernel": qh["kernel0"], "bias": qh["bias0"]}
     st["rest"] = opt.init(dense)
     # Per-NET update count for the sparse parts' Adam bias correction:
     # dense double-Q Adam's count advances only on the steps its net is the
@@ -277,8 +319,11 @@ def make_lazy_double_q_state(
     k1, k2, k_state = jax.random.split(key, 3)
     p1 = init_model(k1, model_cfg)
     p2 = init_model(k2, model_cfg)
-    opt = make_optimizer(learning_rate, mv_dtype)
     fam = model_cfg.family
+    if lazy_qh:
+        p1 = lazy_qhead_params(p1, fam)
+        p2 = lazy_qhead_params(p2, fam)
+    opt = make_optimizer(learning_rate, mv_dtype)
     opt_state = (
         _lazy_net_opt_state(opt, p1, fam, lazy_emb, lazy_qh),
         _lazy_net_opt_state(opt, p2, fam, lazy_emb, lazy_qh),
@@ -305,6 +350,8 @@ def make_lazy_sarm_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     k_init, k_state = jax.random.split(key)
     params = init_model(k_init, model_cfg)
+    if lazy_qh:
+        params = lazy_qhead_params(params, "sarm")
     opt = make_optimizer(learning_rate, mv_dtype)
     return (
         TrainState(

@@ -60,9 +60,9 @@ from ikea_recommender_tpu.ops.rl import (
 )
 from ikea_recommender_tpu.train.lazy_adam import (
     emb_adam_update,
-    gather_qhead_cols,
-    qhead_col_adam_update,
-    sarm_qhead_update,
+    gather_qhead_rows,
+    q_from_rows,
+    qhead_row_adam_update,
     sort_batch_ids,
 )
 from ikea_recommender_tpu.train.state import (
@@ -412,11 +412,12 @@ def _lazy_double_q_run(
 
     aux: Dict[str, jax.Array] = {}
     cols = x_embs = None
+    K = model_cfg.num_q_heads if family == "smorl" else 1
     if lazy.qh_lr is not None:
         sids, inv = sort_batch_ids(batch["action"])
         aux["sids"], aux["inv"] = sids, inv
         cols = [
-            gather_qhead_cols(qh["kernel"], qh["bias"], sids)
+            gather_qhead_rows(qh["kernel_am"], qh["bias"], sids, K)
             for (_r, _e, qh) in parts
         ]
     if lazy.emb_lr is not None:
@@ -432,7 +433,7 @@ def _lazy_double_q_run(
             if lazy.emb_lr is not None:
                 diff["x_emb"] = x_embs[main_i]
             if lazy.qh_lr is not None:
-                diff["w_cols"], diff["b_cols"] = cols[main_i]
+                diff["w_rows"], diff["b_cols"] = cols[main_i]
             ctx = {
                 "main_i": main_i,
                 "p_boot": (p0, p1)[1 - main_i],
@@ -461,7 +462,7 @@ def _lazy_double_q_run(
                 out = ((rests[0], new_rest), (ros[0], new_ro),
                        (counts[0], counts[1] + 1))
             sparse_g = (
-                grads.get("w_cols", jnp.zeros(())),
+                grads.get("w_rows", jnp.zeros(())),
                 grads.get("b_cols", jnp.zeros(())),
                 grads.get("x_emb", jnp.zeros(())),
             )
@@ -503,8 +504,8 @@ def _lazy_double_q_run(
             p_i = merge_embedding(p_i, new_emb)
             o_i["emb"] = new_est
         if lazy.qh_lr is not None:
-            new_k, new_bf, new_qst = qhead_col_adam_update(
-                parts[i][2]["kernel"],
+            new_k, new_bf, new_qst = qhead_row_adam_update(
+                parts[i][2]["kernel_am"],
                 parts[i][2]["bias"],
                 (o0, o1)[i]["qh"],
                 aux["sids"],
@@ -512,11 +513,11 @@ def _lazy_double_q_run(
                 g_b,
                 old_cnt,
                 lazy.qh_lr,
-                w_cols=cols[i][0],
+                w_rows=cols[i][0],
                 b_cols=cols[i][1],
                 selected=sel,
             )
-            p_i[qh_key] = {"kernel": new_k, "bias": new_bf}
+            p_i[qh_key] = {"kernel_am": new_k, "bias": new_bf}
             o_i["qh"] = new_qst
         new_params.append(p_i)
         new_opts.append(o_i)
@@ -553,16 +554,17 @@ def _lazy_diff_parts(p, family, model_cfg, lazy, batch):
         aux["sids"], aux["inv"] = sids, inv
         if family == "sarm":
             diff["h0"] = {
-                "kernel": qh["kernel"][0], "bias": qh["bias"][0]
+                "kernel": qh["kernel0"], "bias": qh["bias0"]
             }
-            w_cols, b_cols = gather_qhead_cols(
-                qh["kernel"][1:], qh["bias"][1:], sids
+            w_rows, b_cols = gather_qhead_rows(
+                qh["kernel_am"], qh["bias_rest"], sids,
+                qh["bias_rest"].shape[0],
             )
         else:
-            w_cols, b_cols = gather_qhead_cols(
-                qh["kernel"], qh["bias"], sids
+            w_rows, b_cols = gather_qhead_rows(
+                qh["kernel_am"], qh["bias"], sids, qh["bias"].shape[0]
             )
-        diff["w_cols"], diff["b_cols"] = w_cols, b_cols
+        diff["w_rows"], diff["b_cols"] = w_rows, b_cols
     return diff, qh, emb, aux
 
 
@@ -572,13 +574,14 @@ def _dense_part(diff):
     return {k: diff[k] for k in ("rest", "h0") if k in diff}
 
 
-def _q_from_cols(h, diff, aux):
-    """(B, K) Q at the batch actions from the pre-gathered sorted columns
-    (inverse-permuted back to batch order inside autodiff — the cotangent
-    lands on the sorted columns, ready for the segment-sum dedupe)."""
-    w_cols = jnp.take(diff["w_cols"], aux["inv"], axis=2)  # (K, F, B)
+def _q_from_rows(h, diff, aux):
+    """(B, K) Q at the batch actions from the pre-gathered SORTED action
+    rows (inverse-permuted back to batch order inside autodiff — the
+    cotangent lands on the sorted rows, ready for the segment-sum
+    dedupe)."""
+    rows = jnp.take(diff["w_rows"], aux["inv"], axis=0)  # (B, K, F)
     b_cols = jnp.take(diff["b_cols"], aux["inv"], axis=1)  # (K, B)
-    return jnp.einsum("bf,kfb->bk", h, w_cols) + b_cols.T
+    return q_from_rows(h, rows, b_cols)
 
 
 def _lazy_apply_updates(
@@ -624,34 +627,38 @@ def _lazy_apply_updates(
     if lazy.qh_lr is not None:
         key = "q_head" if family == "sqn" else "q_heads"
         if family == "sarm":
-            new_k, new_b, new_qh_state = sarm_qhead_update(
-                qh["kernel"],
-                qh["bias"],
-                new_dense["h0"]["kernel"],
-                new_dense["h0"]["bias"],
+            new_k, new_b, new_qh_state = qhead_row_adam_update(
+                qh["kernel_am"],
+                qh["bias_rest"],
                 opt_state["qh"],
                 aux["sids"],
-                grads["w_cols"],
+                grads["w_rows"],
                 grads["b_cols"],
                 cnt,
                 lazy.qh_lr,
-                w_cols=diff["w_cols"],
+                w_rows=diff["w_rows"],
                 b_cols=diff["b_cols"],
             )
+            new_p[key] = {
+                "kernel0": new_dense["h0"]["kernel"],
+                "bias0": new_dense["h0"]["bias"],
+                "kernel_am": new_k,
+                "bias_rest": new_b,
+            }
         else:
-            new_k, new_b, new_qh_state = qhead_col_adam_update(
-                qh["kernel"],
+            new_k, new_b, new_qh_state = qhead_row_adam_update(
+                qh["kernel_am"],
                 qh["bias"],
                 opt_state["qh"],
                 aux["sids"],
-                grads["w_cols"],
+                grads["w_rows"],
                 grads["b_cols"],
                 cnt,
                 lazy.qh_lr,
-                w_cols=diff["w_cols"],
+                w_rows=diff["w_rows"],
                 b_cols=diff["b_cols"],
             )
-        new_p[key] = {"kernel": new_k, "bias": new_b}
+            new_p[key] = {"kernel_am": new_k, "bias": new_b}
         new_opt["qh"] = new_qh_state
     return new_p, new_opt
 
@@ -790,7 +797,7 @@ def sqn_train_step_lazy(
             p_feat, model_cfg, h, batch["action"], batch["valid"]
         )
         if lazy.qh_lr is not None:
-            q = _q_from_cols(h, diff, ctx["aux"])[:, 0]
+            q = _q_from_rows(h, diff, ctx["aux"])[:, 0]
         else:
             q = row_logit(
                 h, diff["rest"]["q_head"]["kernel"],
@@ -803,18 +810,33 @@ def sqn_train_step_lazy(
                 batch["true_next_len"],
             )
         )
-        max_a_next = fused_linear_argmax(
-            h_next, qh_full["kernel"], qh_full["bias"],
-            model_cfg.action_dim, model_cfg.head_precision,
-        )
         p_boot = ctx["p_boot"]
         qb = p_boot["q_head"]
         h_next_boot = apply_features(
             p_boot, model_cfg, batch["next_state"], boot_len
         )
-        q_next_boot = jax.lax.stop_gradient(
-            row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
-        ) * not_end
+        if lazy.qh_lr is not None:
+            max_a_next = fused_linear_argmax(
+                h_next, qh_full["kernel_am"], qh_full["bias"],
+                model_cfg.action_dim, model_cfg.head_precision,
+                action_major=True,
+            )
+            q_next_boot = jax.lax.stop_gradient(
+                q_from_rows(
+                    h_next_boot,
+                    *gather_qhead_rows(
+                        qb["kernel_am"], qb["bias"], max_a_next, 1
+                    ),
+                )[:, 0]
+            ) * not_end
+        else:
+            max_a_next = fused_linear_argmax(
+                h_next, qh_full["kernel"], qh_full["bias"],
+                model_cfg.action_dim, model_cfg.head_precision,
+            )
+            q_next_boot = jax.lax.stop_gradient(
+                row_logit(h_next_boot, qb["kernel"], qb["bias"], max_a_next)
+            ) * not_end
         td = batch["reward"] + rl.gamma * q_next_boot - q
         q_loss = _masked_mean(td**2, batch["valid"])
         return q_loss + sup_loss_f, (sup_loss_f, q_loss)
@@ -1048,7 +1070,7 @@ def smorl_train_step_lazy(
                 p_feat, model_cfg, h, batch["action"], batch["valid"]
             )
         if lazy.qh_lr is not None:
-            q = _q_from_cols(h, diff, ctx["aux"])  # (B, K)
+            q = _q_from_rows(h, diff, ctx["aux"])  # (B, K)
         else:
             q = multihead_row_logit(
                 h, diff["rest"]["q_heads"]["kernel"],
@@ -1061,20 +1083,35 @@ def smorl_train_step_lazy(
                 batch["true_next_len"],
             )
         )
-        max_a_next = fused_weighted_multihead_argmax(
-            h_next, qh_full["kernel"], qh_full["bias"], w,
-            model_cfg.action_dim, model_cfg.head_precision,
-        )
         p_boot = ctx["p_boot"]
         qb = p_boot["q_heads"]
         h_next_boot = apply_features(
             p_boot, model_cfg, batch["next_state"], boot_len
         )
-        q_next_boot = jax.lax.stop_gradient(
-            multihead_row_logit(
-                h_next_boot, qb["kernel"], qb["bias"], max_a_next
+        if lazy.qh_lr is not None:
+            max_a_next = fused_weighted_multihead_argmax(
+                h_next, qh_full["kernel_am"], qh_full["bias"], w,
+                model_cfg.action_dim, model_cfg.head_precision,
+                action_major=True,
             )
-        ) * not_end[:, None]
+            q_next_boot = jax.lax.stop_gradient(
+                q_from_rows(
+                    h_next_boot,
+                    *gather_qhead_rows(
+                        qb["kernel_am"], qb["bias"], max_a_next, K
+                    ),
+                )
+            ) * not_end[:, None]
+        else:
+            max_a_next = fused_weighted_multihead_argmax(
+                h_next, qh_full["kernel"], qh_full["bias"], w,
+                model_cfg.action_dim, model_cfg.head_precision,
+            )
+            q_next_boot = jax.lax.stop_gradient(
+                multihead_row_logit(
+                    h_next_boot, qb["kernel"], qb["bias"], max_a_next
+                )
+            ) * not_end[:, None]
 
         rewards = [batch["reward"]]
         if K >= 2:
@@ -1266,7 +1303,7 @@ def sarm_train_step_lazy(
         sup_loss = _masked_mean(per, batch["valid"])
         if lazy.qh_lr is not None:
             q0 = row_logit(h, k0, b0, batch["action"])  # dense head-0 grad
-            q_rest = _q_from_cols(h, diff, aux)  # (B, K-1) lazy columns
+            q_rest = _q_from_rows(h, diff, aux)  # (B, K-1) lazy rows
             q = jnp.concatenate([q0[:, None], q_rest], axis=1)  # (B, K)
         else:
             q = multihead_row_logit(
@@ -1279,10 +1316,25 @@ def sarm_train_step_lazy(
                 batch["true_next_len"],
             )
         )
-        q_next = blockwise_multihead_max(
-            h_next, qh_full["kernel"], qh_full["bias"], model_cfg.action_dim,
-            precision=model_cfg.head_precision,
-        )  # (B, K)
+        if lazy.qh_lr is not None:
+            from ikea_recommender_tpu.ops.fused_topk import (
+                blockwise_multihead_max_am,
+            )
+
+            q_next0 = blockwise_multihead_max(
+                h_next, qh_full["kernel0"][None], qh_full["bias0"][None],
+                model_cfg.action_dim, precision=model_cfg.head_precision,
+            )  # (B, 1)
+            q_next_rest = blockwise_multihead_max_am(
+                h_next, qh_full["kernel_am"], qh_full["bias_rest"],
+                model_cfg.action_dim, precision=model_cfg.head_precision,
+            )  # (B, K-1)
+            q_next = jnp.concatenate([q_next0, q_next_rest], axis=1)
+        else:
+            q_next = blockwise_multihead_max(
+                h_next, qh_full["kernel"], qh_full["bias"],
+                model_cfg.action_dim, precision=model_cfg.head_precision,
+            )  # (B, K)
         q_next = q_next * not_end[:, None]
         td = (batch["reward"][:, None] + rl.sarm_gamma * q_next - q) ** 2
         q_losses = jnp.sum(

@@ -73,7 +73,7 @@ def _aux(model):
 
 
 def _make_pair(model):
-    """(dense (state, step), lazy (state, step)) from the same init key."""
+    """(dense (state, step), lazy (state, step), mc) from the same init key."""
     mc = _mc(model)
     opt = make_optimizer(LR)
     rl = RLStepConfig(gamma=0.5, alpha=1.0)
@@ -89,12 +89,21 @@ def _make_pair(model):
     step_lazy = make_train_step(
         mc, opt, rl, **aux, lazy_qhead_lr=LR, donate=False
     )
-    return (s_dense, step_dense), (s_lazy, step_lazy)
+    return (s_dense, step_dense), (s_lazy, step_lazy), mc
 
 
-def _assert_trees_close(a, b, atol=1e-5):
+def _assert_trees_close(a, b, mc=None, atol=1e-5):
     # not bit-exact: the dense arm forms dW via the bf16-split one-hot
-    # matmul (~24-bit accuracy) where the lazy arm updates columns directly
+    # matmul (~24-bit accuracy) where the lazy arm updates columns directly.
+    # The lazy tree stores the q-head ACTION-MAJOR — canonicalize first.
+    from ikea_recommender_tpu.models.families import canonicalize_qheads
+
+    if mc is not None:
+        canon = lambda t: canonicalize_qheads(t, mc)
+        if isinstance(a, tuple):
+            a, b = tuple(map(canon, a)), tuple(map(canon, b))
+        else:
+            a, b = canon(a), canon(b)
     fa, ta = jax.tree.flatten(a)
     fb, tb = jax.tree.flatten(b)
     assert ta == tb
@@ -104,18 +113,18 @@ def _assert_trees_close(a, b, atol=1e-5):
 
 @pytest.mark.parametrize("model", ["sqn", "smorl", "sarm"])
 def test_first_step_exact_vs_dense(model):
-    (sd, stepd), (sl, stepl) = _make_pair(model)
+    (sd, stepd), (sl, stepl), mc = _make_pair(model)
     batch = _toy_batch()
     sd2, md = stepd(sd, batch)
     sl2, ml = stepl(sl, batch)
     np.testing.assert_allclose(float(md["sup_loss"]), float(ml["sup_loss"]), atol=1e-5)
     np.testing.assert_allclose(float(md["q_loss"]), float(ml["q_loss"]), atol=1e-5)
-    _assert_trees_close(sd2.params, sl2.params)
+    _assert_trees_close(sd2.params, sl2.params, mc)
 
 
 @pytest.mark.parametrize("model", ["sqn", "smorl", "sarm"])
 def test_multi_step_exact_when_all_columns_touched(model):
-    (sd, stepd), (sl, stepl) = _make_pair(model)
+    (sd, stepd), (sl, stepl), mc = _make_pair(model)
     for i in range(6):
         batch = _toy_batch(seed=i, cover_all=True)
         sd, md = stepd(sd, batch)
@@ -123,29 +132,29 @@ def test_multi_step_exact_when_all_columns_touched(model):
     np.testing.assert_allclose(
         float(md["sup_loss"]), float(ml["sup_loss"]), atol=1e-4
     )
-    _assert_trees_close(sd.params, sl.params, atol=5e-5)
+    _assert_trees_close(sd.params, sl.params, mc, atol=5e-5)
 
 
 def test_untouched_columns_hold_still():
     """The documented lazy semantics: a touched column builds momentum;
     once the batch stops touching it, the lazy path freezes it while dense
     Adam would keep moving it under that momentum."""
-    _, (sl, stepl) = _make_pair("smorl")
+    _, (sl, stepl), _mc2 = _make_pair("smorl")
     touch3 = dict(_toy_batch(seed=1), action=jnp.full((B,), 3, jnp.int32))
     touch5 = dict(_toy_batch(seed=2), action=jnp.full((B,), 5, jnp.int32))
     for _ in range(3):
         sl, _ = stepl(sl, touch3)
     k_before = np.stack(
-        [np.asarray(p["q_heads"]["kernel"]) for p in sl.params]
+        [np.asarray(p["q_heads"]["kernel_am"]) for p in sl.params]
     )
     sl, _ = stepl(sl, touch5)
     k_after = np.stack(
-        [np.asarray(p["q_heads"]["kernel"]) for p in sl.params]
+        [np.asarray(p["q_heads"]["kernel_am"]) for p in sl.params]
     )
-    # column 3 (touched before, with live momentum) is now frozen
-    np.testing.assert_array_equal(k_before[..., 3], k_after[..., 3])
-    # column 5 moved on whichever net was selected
-    assert not np.array_equal(k_before[..., 5], k_after[..., 5])
+    # action row 3 (touched before, with live momentum) is now frozen
+    np.testing.assert_array_equal(k_before[:, 3], k_after[:, 3])
+    # action row 5 moved on whichever net was selected
+    assert not np.array_equal(k_before[:, 5], k_after[:, 5])
 
 
 @pytest.mark.parametrize("model", ["sqn", "smorl", "sarm"])
