@@ -171,14 +171,16 @@ class TrainConfig:
     # TensorBoard). The reference has no tracing at all (SURVEY.md §5).
     profile_dir: Optional[str] = None
     # Named numerics presets (docs/performance.md):
-    #   "fast"      — bf16 head matmuls + bf16 Adam moments: the certified
-    #                 max-throughput arm (accuracy-gated e2e in
-    #                 tests/test_optimizer_mv.py; ~1.8x the default arm on
-    #                 gru4rec at the RetailRocket point).
+    #   "fast"      — bf16 head matmuls + bf16 Adam moments + (Q families)
+    #                 lazy-column Q-head Adam: the certified max-throughput
+    #                 arm (accuracy-gated e2e in tests/test_optimizer_mv.py
+    #                 and tests/test_lazy_qhead.py; ~1.8x the default arm on
+    #                 gru4rec, ~1.5-2.3x on smorl/sarm at the RetailRocket
+    #                 point).
     #   "reference" — 6-pass fp32 head matmuls + fp32 moments: exact
     #                 reference-parity numerics.
     # A preset only fills fields still at their defaults, so explicit
-    # head_precision / optimizer_mv_dtype settings win.
+    # head_precision / optimizer_mv_dtype / qhead_optimizer settings win.
     preset: Optional[str] = None
 
     def __post_init__(self) -> None:
@@ -193,6 +195,9 @@ class TrainConfig:
                 )
             if self.optimizer_mv_dtype is None and self.preset == "fast":
                 self.optimizer_mv_dtype = "bfloat16"
+            if self.qhead_optimizer is None and self.preset == "fast":
+                # no-op for non-Q families (run/trainer.py resolves it)
+                self.qhead_optimizer = "lazy_adam"
         if self.head_precision not in ("highest", "high", "default"):
             raise ValueError(
                 "train.head_precision must be one of highest/high/default, "

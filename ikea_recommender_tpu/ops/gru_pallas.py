@@ -41,13 +41,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _batch_tile(B: int) -> int:
-    if B <= 512:
+def _batch_tile(B: int, H: int, backward: bool = False) -> int:
+    """Largest batch tile whose VMEM working set fits the ~16MB scoped
+    limit. The budget is H-dependent: the backward keeps THREE (H, 3H)
+    weight-sized buffers resident (wh + the dwh output block + the dwh
+    accumulator — 9.4MB at H=512), plus ~18H bytes per batch row of
+    double-buffered streamed blocks (xw, y_prev, gy, dxw). The old
+    H-blind tile (BT = B up to 512) made the backward fail to compile at
+    H=512, T>=50 (docs/performance.md r3 regime table) — now it tiles
+    down instead."""
+    fixed = (3 if backward else 1) * H * 3 * H * 4
+    per_row = (18 if backward else 11) * H * 4
+    budget = 14 * 1024 * 1024
+    best = None
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        if bt <= B and B % bt == 0:
+            if best is None:
+                best = bt  # largest divisor as fallback
+            if fixed + per_row * bt <= budget:
+                return bt
+    if B <= 512 and fixed + per_row * B <= budget:
         return B
-    for bt in (512, 256, 128):
-        if B % bt == 0:
-            return bt
-    return B
+    return best if best is not None else B
 
 
 def _split3(a):
@@ -91,7 +106,7 @@ def _fwd_kernel(xw_ref, wh_ref, bh_ref, m_ref, y_ref, hfin_ref, h_ref):
 def _forward(xw_tm: jax.Array, wh: jax.Array, bh: jax.Array, mask_tm: jax.Array):
     T, B, H3 = xw_tm.shape
     H = H3 // 3
-    BT = _batch_tile(B)
+    BT = _batch_tile(B, H)
     nb = B // BT
     grid = (nb, T)
     y, hfin = pl.pallas_call(
@@ -199,7 +214,7 @@ def _bwd_kernel(
 def _backward(xw_tm, wh, bh, mask_tm, y_tm, gy_tm, g_hfin):
     T, B, H3 = xw_tm.shape
     H = H3 // 3
-    BT = _batch_tile(B)
+    BT = _batch_tile(B, H, backward=True)
     nb = B // BT
     grid = (nb, T)
 

@@ -462,9 +462,18 @@ def train(
         raise ValueError(f"unknown optimizer {t_cfg.optimizer!r}")
     if t_cfg.qhead_optimizer not in (None, "adam", "lazy_adam"):
         raise ValueError(f"unknown qhead_optimizer {t_cfg.qhead_optimizer!r}")
-    lazy_qh = t_cfg.qhead_optimizer == "lazy_adam"
-    if lazy_qh and family not in ("sqn", "smorl", "sarm"):
-        raise ValueError("qhead_optimizer='lazy_adam' needs a Q family")
+    # a no-op for families without Q heads (the fast preset sets it
+    # unconditionally — core/config.py)
+    lazy_qh = t_cfg.qhead_optimizer == "lazy_adam" and family in (
+        "sqn", "smorl", "sarm",
+    )
+    if lazy_qh and mesh is not None:
+        # the lazy Q-head path is single-chip (the sharded fused kernels own
+        # the mesh Q-head layout); preset=fast on a mesh falls back to the
+        # dense sharded arm
+        if jax.process_index() == 0:
+            print("[trainer] mesh run: qhead_optimizer falls back to dense Adam")
+        lazy_qh = False
     if (lazy or lazy_qh) and family not in ("gru4rec", "bidir_gru4rec"):
         if mesh is not None:
             raise ValueError("lazy optimizers are single-chip only (no mesh)")

@@ -33,6 +33,12 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
     ).strip()
 
 import jax  # noqa: E402
+
+# the axon sitecustomize pins JAX_PLATFORMS=axon at interpreter startup;
+# the backend is lazy, so flip it before first use (same pattern as
+# __graft_entry__.dryrun_multichip)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -50,17 +56,23 @@ _DTYPE_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1, "f16": 2,
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 
 
-def _payload_bytes(line: str) -> int:
-    """Sum of OUTPUT shape bytes of a collective instruction line."""
-    lhs = line.split("=", 1)[1].strip()
-    head = lhs.split(" ")[0]  # e.g. f32[256,64]{1,0} or (f32[..],f32[..])
+_COLL_RE = re.compile(
+    r"=\s+(.+?)\s+(" + "|".join(COLLECTIVES) + r")(?:-start)?[\.\d]*\("
+)
+
+
+def _shape_bytes(shape_spec: str) -> int:
+    """Total bytes of a (possibly tuple) HLO shape spec, e.g.
+    ``(f32[70853,64]{1,0}, f32[192]{0})`` or ``f32[256,64]{1,0}``."""
     total = 0
-    for dt, dims in _SHAPE_RE.findall(head):
+    for dt, dims in _SHAPE_RE.findall(shape_spec):
+        if dt not in _DTYPE_BYTES:
+            continue
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES.get(dt, 4)
+        total += n * _DTYPE_BYTES[dt]
     return total
 
 
@@ -70,16 +82,10 @@ def collective_bytes(compiled) -> dict:
         s = line.strip()
         if "=" not in s:
             continue
-        rhs = s.split("=", 1)[1].strip()
-        for op in COLLECTIVES:
-            if rhs.split(" ")[1].startswith(op + "(") if len(rhs.split(" ")) > 1 else False:
-                out[op] = out.get(op, 0) + _payload_bytes(s)
-                break
-            # form: "f32[...] all-reduce(...)"
-            m = re.match(r"[\w\[\],{}()]+\s+(" + op + r")[\.\d]*\(", rhs)
-            if m:
-                out[op] = out.get(op, 0) + _payload_bytes(s)
-                break
+        m = _COLL_RE.search(s)
+        if m:
+            op = m.group(2)
+            out[op] = out.get(op, 0) + _shape_bytes(m.group(1))
     return out
 
 

@@ -86,3 +86,59 @@ def test_backbone_scan_impl_switch():
         np.testing.assert_allclose(
             np.asarray(g2[k]), np.asarray(g1[k]), atol=2e-4, err_msg=k
         )
+
+
+def test_batch_tile_h_aware():
+    """The r4 VMEM fix: the backward's batch tile shrinks with H so the
+    three (H, 3H) weight-class buffers + streamed blocks fit scoped VMEM
+    (the H-blind tile failed to compile at H=512, T>=50 —
+    docs/performance.md)."""
+    from ikea_recommender_tpu.ops.gru_pallas import _batch_tile
+
+    assert _batch_tile(256, 64) == 256
+    assert _batch_tile(256, 64, backward=True) == 256
+    # H=512 backward: 3 weight buffers are already 9.4MB; tile must shrink
+    bt = _batch_tile(256, 512, backward=True)
+    assert bt < 256 and 256 % bt == 0
+    fixed = 3 * 512 * 3 * 512 * 4
+    assert fixed + 18 * 512 * 4 * bt <= 14 * 1024 * 1024
+
+
+def test_backward_parity_h512_tiled():
+    """Grad parity through the BATCH-TILED backward (nb > 1) at a width
+    that forces the tile below B — the regime the r3 kernel could not
+    compile (H=512-class; interpret-mode CPU run uses H=256/B=32 to keep
+    runtime sane while still exercising nb=2 via a forced small tile)."""
+    import ikea_recommender_tpu.ops.gru_pallas as gp
+
+    Bb, Tt, Hh = 32, 5, 16
+    params = init_gru_layer(jax.random.key(9), E, Hh)
+    rs = np.random.RandomState(9)
+    xw = jnp.asarray(rs.randn(Bb, Tt, 3 * Hh).astype(np.float32))
+    mask = jnp.asarray(
+        (np.arange(Tt)[None, :] < rs.randint(1, Tt + 1, (Bb, 1))).astype(
+            np.float32
+        )
+    )
+    orig = gp._batch_tile
+    gp._batch_tile = lambda B, H, backward=False: 16  # force nb=2
+    try:
+        def loss_pl(xw, wh, bh):
+            y, h = gru_scan_pallas(xw, wh, bh, mask=mask)
+            return jnp.sum(y * 0.3) + jnp.sum(h**2)
+
+        g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(
+            xw, params["wh"], params["bh"]
+        )
+    finally:
+        gp._batch_tile = orig
+
+    def loss_ref(xw, wh, bh):
+        y, h = _gru_scan(xw, wh, bh, mask)
+        return jnp.sum(y * 0.3) + jnp.sum(h**2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xw, params["wh"], params["bh"])
+    for a, b, name in zip(g_pl, g_ref, ("dxw", "dwh", "dbh")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name
+        )

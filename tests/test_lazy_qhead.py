@@ -215,6 +215,65 @@ def test_e2e_trainer_lazy_qh_reaches_dense_quality(model, tmp_path):
     np.testing.assert_allclose(got.best_metric, ref.best_metric, atol=atol)
 
 
+@pytest.mark.parametrize("model", ["sqn", "smorl", "sarm"])
+def test_fast_preset_certified_q_families(model, tmp_path):
+    """VERDICT r3 item 6: the ``fast`` preset (bf16 head + bf16 Adam m/v +
+    lazy-column Q-head Adam) is accuracy-gated for every Q family — same
+    quality as the fp32 dense arm on the synthetic process, within the
+    per-family tolerance of the lazy e2e gate."""
+    from ikea_recommender_tpu.core.config import (
+        Config,
+        ExperimentConfig,
+        MetricsConfig,
+    )
+    from ikea_recommender_tpu.data.synthetic import synthetic_buffers
+    from ikea_recommender_tpu.run.trainer import train
+
+    AA = 30
+
+    def cfg(exp_dir, preset):
+        return Config(
+            experiment=ExperimentConfig(seed=0),
+            data=DataConfig(num_items=AA),
+            train=TrainConfig(
+                model=model,
+                batch_size=32,
+                val_batch_size=64,
+                epochs=2,
+                learning_rate=0.01,
+                embedding_size=16,
+                hidden_state_size=16,
+                state_size=6,
+                gamma=0.5,
+                sarm_gamma=0.5,
+                q_weights=[1.0, 1.0, 1.0],
+                best_model_metric="Val_NDCG@10",
+                eval_at=[1.0],
+                fused_ce_min_actions=0,
+                preset=preset,
+            ),
+            metrics=MetricsConfig(topk_cov=[1, 5], topk_hr_ndcg=[5, 10]),
+            exp_dir=str(exp_dir),
+        )
+
+    fast_cfg = cfg(tmp_path / "fast", "fast")
+    assert fast_cfg.train.qhead_optimizer == "lazy_adam"  # preset wiring
+    train_buf, _ = synthetic_buffers(num_sessions=150, num_items=AA, state_len=6, seed=1)
+    _, val_buf = synthetic_buffers(num_sessions=40, num_items=AA, state_len=6, seed=2)
+    rs = np.random.RandomState(0)
+    kw = dict(
+        train_buf=train_buf,
+        val_buf=val_buf,
+        div_embedding=rs.randn(AA + 1, 16).astype(np.float32),
+        unpopular=set(range(0, AA, 3)),
+    )
+    ref = train(cfg(tmp_path / "fp32", None), **kw)
+    got = train(fast_cfg, **kw)
+    assert got.best_metric > (0.15 if model == "smorl" else 0.3)
+    atol = 0.15 if model == "sarm" else 0.05
+    np.testing.assert_allclose(got.best_metric, ref.best_metric, atol=atol)
+
+
 def test_e2e_trainer_lazy_embedding_q_family(tmp_path):
     """The round-3 gru4rec-only optimizer fence is lifted: a Q family runs
     with optimizer='lazy_adam' (sparse-row embedding) end to end."""
