@@ -133,3 +133,100 @@ def _vjp_bwd(mesh, valid_dim, data_axis, precision, res, ct):
 
 
 sharded_fused_softmax_ce.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Combined single-pass CE + top-k over the sharded head (SMORL train path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def sharded_fused_softmax_ce_topk(
+    h: jax.Array,  # (B, F)
+    w: jax.Array,  # (F, A_pad) columns sharded on the model axis
+    b: jax.Array,  # (A_pad,)
+    labels: jax.Array,  # (B,) GLOBAL action ids
+    k: int,
+    mesh: Mesh,
+    valid_dim: int,
+    data_axis: str | None = None,
+    precision: str = "highest",
+):
+    """Sharded analog of ``ops.fused_ce.fused_softmax_ce_topk``: ONE
+    blockwise pass per shard yields the supervised CE (flash logsumexp +
+    label logit, differentiable through the same sharded backward) AND the
+    global top-k ids feeding the SMORL online rewards — previously the
+    mesh train path ran ``sharded_fused_softmax_ce`` + ``sharded_sup_topk``
+    as two full passes over the head (r3 known-gap). Merge payloads stay
+    O(B*k) + O(B) scalars. Returns ``(per_example_ce (B,), top_idx (B, k))``;
+    the indices are discrete (grad-free consumers by design)."""
+    out, _ = _ce_topk_fwd_sharded(
+        h, w, b, labels, k, mesh, valid_dim, data_axis, precision
+    )
+    return out
+
+
+def _ce_topk_fwd_sharded(h, w, b, labels, k, mesh, valid_dim, data_axis, precision):
+    from ikea_recommender_tpu.ops.fused_topk import (
+        DEFAULT_BLOCK_COLS,
+        blockwise_head_topk_ce,
+    )
+
+    shard_a = _shard_a(w, mesh)
+
+    def local(h_l, w_l, b_l, lbl_l):
+        my = jax.lax.axis_index(MODEL_AXIS)
+        top_v, top_i, m, s, lbl = blockwise_head_topk_ce(
+            h_l,
+            w_l,
+            b_l,
+            k,
+            valid_dim,
+            labels=lbl_l.astype(jnp.int32),
+            block_cols=min(DEFAULT_BLOCK_COLS, shard_a),
+            col_offset=my * shard_a,
+            raw_pieces=True,
+            precision=precision,
+        )
+        # top-k merge (shard-major concat keeps dense tie order —
+        # parallel/topk.py:sharded_head_topk_ce)
+        all_v = jax.lax.all_gather(top_v, MODEL_AXIS)
+        all_i = jax.lax.all_gather(top_i, MODEL_AXIS)
+        cat_v = jnp.moveaxis(all_v, 0, 1).reshape(top_v.shape[0], -1)
+        cat_i = jnp.moveaxis(all_i, 0, 1).reshape(top_v.shape[0], -1)
+        g_v, pos = jax.lax.top_k(cat_v, k)
+        g_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        # logsumexp + label-logit merge (sentinel-safe pmax)
+        g_m = jax.lax.pmax(m, MODEL_AXIS)
+        g_s = jax.lax.psum(s * jnp.exp(m - g_m), MODEL_AXIS)
+        g_lbl = jax.lax.pmax(lbl, MODEL_AXIS)
+        lse = g_m + jnp.log(g_s)
+        return lse - g_lbl, g_i, lse
+
+    per_ce, top_i, lse = shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(
+            P(data_axis, None),
+            P(None, MODEL_AXIS),
+            P(MODEL_AXIS),
+            P(data_axis),
+        ),
+        out_specs=(P(data_axis), P(data_axis), P(data_axis)),
+    )(h, w, b, labels)
+    return (per_ce, top_i), (h, w, b, labels, lse)
+
+
+def _ce_topk_vjp_fwd(h, w, b, labels, k, mesh, valid_dim, data_axis, precision):
+    return _ce_topk_fwd_sharded(
+        h, w, b, labels, k, mesh, valid_dim, data_axis, precision
+    )
+
+
+def _ce_topk_vjp_bwd(k, mesh, valid_dim, data_axis, precision, res, cts):
+    # top_idx is int32 — no tangent; reuse the sharded CE backward verbatim
+    return _vjp_bwd(mesh, valid_dim, data_axis, precision, res, cts[0])
+
+
+sharded_fused_softmax_ce_topk.defvjp(_ce_topk_vjp_fwd, _ce_topk_vjp_bwd)

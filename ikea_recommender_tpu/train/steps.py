@@ -885,19 +885,33 @@ def smorl_train_step(
             h = apply_features(p_main, model_cfg, batch["state"], batch["true_len"])
             sh = p_main["sup_head"]
             top_i = None
-            if mesh is None and k_need:
+            if k_need:
                 # ONE blockwise pass yields the sup CE (with grad) AND the
                 # online-reward top-k — previously two separate passes over
-                # the same (B, A) logits (fused-CE fwd + top-k scan).
-                from ikea_recommender_tpu.ops.fused_ce import (
-                    fused_softmax_ce_topk,
-                )
+                # the same (B, A) logits (fused-CE fwd + top-k scan). The
+                # mesh variant runs the same single pass per shard with
+                # O(B*k) merges (parallel/fused_ce.py, r4 — closed the r3
+                # two-pass gap).
+                if mesh is not None:
+                    from ikea_recommender_tpu.parallel.fused_ce import (
+                        sharded_fused_softmax_ce_topk,
+                    )
 
-                per_ce, top_i = fused_softmax_ce_topk(
-                    h.astype(jnp.float32), sh["kernel"], sh["bias"],
-                    batch["action"], k_need, model_cfg.action_dim,
-                    model_cfg.head_precision,
-                )
+                    per_ce, top_i = sharded_fused_softmax_ce_topk(
+                        h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                        batch["action"], k_need, mesh, model_cfg.action_dim,
+                        data_axis, model_cfg.head_precision,
+                    )
+                else:
+                    from ikea_recommender_tpu.ops.fused_ce import (
+                        fused_softmax_ce_topk,
+                    )
+
+                    per_ce, top_i = fused_softmax_ce_topk(
+                        h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                        batch["action"], k_need, model_cfg.action_dim,
+                        model_cfg.head_precision,
+                    )
                 sup_loss = _masked_mean(per_ce, batch["valid"])
             else:
                 sup_loss = _fused_sup_ce(
@@ -917,15 +931,9 @@ def smorl_train_step(
             if mesh is not None:
                 from ikea_recommender_tpu.parallel.q_kernels import (
                     sharded_multihead_row_logit,
-                    sharded_sup_topk,
                     sharded_weighted_multihead_argmax,
                 )
 
-                if k_need:
-                    top_i = sharded_sup_topk(
-                        h, sh["kernel"], sh["bias"], k_need,
-                        model_cfg.action_dim, mesh, data_axis,
-                    )
                 q = sharded_multihead_row_logit(
                     h, qh["kernel"], qh["bias"], batch["action"],
                     mesh, data_axis,

@@ -164,3 +164,46 @@ def test_sharded_fused_ce_grads_with_data_axis():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(h, w, b)
     for a, e in zip(gs, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-5)
+
+
+@pytest.mark.parametrize("spec", [MeshSpec(1, 4), MeshSpec(2, 2)])
+def test_sharded_fused_ce_topk_matches_dense(spec):
+    """r4 combined op (closed r3 gap): ONE sharded pass = CE (with grads)
+    + global top-k ids, vs dense CE + dense lax.top_k."""
+    from ikea_recommender_tpu.parallel.fused_ce import (
+        sharded_fused_softmax_ce_topk,
+    )
+
+    if spec.data * spec.model > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(spec)
+    rs = np.random.RandomState(3)
+    B, F, A, valid, k = 16, 8, 64 * spec.model, 64 * spec.model - 5, 6
+    h = jnp.asarray(rs.randn(B, F).astype(np.float32))
+    w = jnp.asarray(rs.randn(F, A).astype(np.float32) * 0.2)
+    b = jnp.asarray(rs.randn(A).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rs.randint(0, valid, (B,)), jnp.int32)
+    weights = jnp.asarray(rs.rand(B).astype(np.float32))
+
+    def loss_sharded(h, w, b):
+        per, top_i = sharded_fused_softmax_ce_topk(
+            h, w, b, labels, k, mesh, valid
+        )
+        return jnp.sum(per * weights), top_i
+
+    (got, top_i) = jax.jit(loss_sharded)(h, w, b)
+    want = jnp.sum(_ref(h, w, b, labels, valid) * weights)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+
+    logits = h @ w + b
+    logits = jnp.where(jnp.arange(A) < valid, logits, -1e9)
+    _, ref_i = jax.lax.top_k(logits, k)
+    np.testing.assert_array_equal(np.asarray(top_i), np.asarray(ref_i))
+
+    g_got = jax.jit(jax.grad(lambda *a: loss_sharded(*a)[0], argnums=(0, 1, 2)))(h, w, b)
+    g_want = jax.grad(lambda h, w, b: jnp.sum(_ref(h, w, b, labels, valid) * weights), argnums=(0, 1, 2))(h, w, b)
+    for a, e, name in zip(g_got, g_want, "h w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad {name}",
+        )
