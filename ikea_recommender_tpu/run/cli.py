@@ -10,7 +10,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+if os.environ.get("IKEA_PLATFORM"):
+    # Explicit backend override (e.g. CI spot-runs on CPU while a TPU job
+    # holds the chip). Must flip jax's lazy backend config BEFORE first use;
+    # plain JAX_PLATFORMS is pinned by the axon sitecustomize at startup.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["IKEA_PLATFORM"])
 
 from ikea_recommender_tpu.core.config import load_experiment_config
 from ikea_recommender_tpu.run.logging_sinks import make_log_sinks

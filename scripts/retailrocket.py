@@ -267,6 +267,7 @@ def run(args) -> None:
             q_weights=[1.0, 1.0, 1.0],
             best_model_metric="Val_NDCG@10",
             eval_at=[1.0],
+            preset=args.preset,
         ),
         metrics=MetricsConfig(
             topk_hr_ndcg=[10, 20],
@@ -282,6 +283,21 @@ def run(args) -> None:
     keys = [k for k in out.test_metrics if "HR" in k or "NDCG" in k]
     print("[run] headline:",
           {k: round(out.test_metrics[k], 4) for k in sorted(keys)})
+    print(f"[run] best {cfg.train.best_model_metric}={out.best_metric:.4f} "
+          f"@ eval point {out.best_epoch}")
+    print(f"[run] in-loop throughput: "
+          f"{out.throughput_sessions_per_sec:,.0f} sessions/s "
+          f"(train windows only, device wall-clock)")
+    with open(os.path.join(args.out, "run_summary.json"), "w") as fh:
+        json.dump({
+            "family": args.family,
+            "epochs": args.epochs,
+            "best_metric": out.best_metric,
+            "best_epoch": out.best_epoch,
+            "test_metrics": out.test_metrics,
+            "train_sessions_per_sec": out.throughput_sessions_per_sec,
+            "logs": out.logs,  # per-eval-point metric curves
+        }, fh, indent=2)
 
 
 def main() -> None:
@@ -321,6 +337,8 @@ def main() -> None:
     r.add_argument("--family", default="gru4rec",
                    choices=["gru4rec", "bidir_gru4rec", "sqn", "smorl", "sarm"])
     r.add_argument("--epochs", type=int, default=30)
+    r.add_argument("--preset", default=None, choices=["fast", "reference"],
+                   help="numerics preset (docs/performance.md); None = default arm")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--out", required=True)
     r.set_defaults(fn=run)

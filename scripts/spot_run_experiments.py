@@ -49,7 +49,7 @@ DEFAULTS = [  # one per mirrored class directory
     "experiments/paper/SQN_RetailRocket_NoCV/SQN_GRU_paper_opt3_packed/SQN_GRU_paper_opt3_packed.yaml",
     "experiments/paper/SQN_RetailRocket_NoCV_2/SQN_GRU_paper_replica_trainable/SQN_GRU_paper_replica_trainable.yaml",
     "experiments/paper/SQN_RetailRocket_NoCV_final/SQN_GRU_paper_opt2_front/SQN_GRU_paper_opt2_front.yaml",
-    "experiments/paper/playing/play_around.yaml",
+    "experiments/paper/playing/play_around/play_around.yaml",
 ]
 
 RR_ITEMS = 500
@@ -203,15 +203,23 @@ def make_run_copy(src: str, spot_root: str) -> str:
 
 
 def main(argv) -> int:
+    platform = None
+    if argv and argv[0].startswith("--platform="):
+        platform = argv[0].split("=", 1)[1]
+        argv = argv[1:]
     configs = argv or DEFAULTS
     spot_root = os.path.join(REPO, "data", "spot")
+    env = dict(os.environ)
+    if platform:
+        env["IKEA_PLATFORM"] = platform  # run/cli.py backend override
     failures = []
     for src in configs:
         dst = make_run_copy(os.path.join(REPO, src), spot_root)
-        print(f"=== spot-run {src}")
+        print(f"=== spot-run {src}", flush=True)
         res = subprocess.run(
             [sys.executable, "-m", "ikea_recommender_tpu.run.cli", "-f", dst],
             cwd=REPO,
+            env=env,
         )
         if res.returncode != 0:
             failures.append(src)
