@@ -229,6 +229,9 @@ def buffers(args) -> None:
 
 
 def run(args) -> None:
+    # optional knobs (the dry-run test builds a bare Namespace)
+    preset = getattr(args, "preset", None)
+    checkpoint = getattr(args, "checkpoint", False)
     from ikea_recommender_tpu.core.config import (
         Config,
         DataConfig,
@@ -267,7 +270,10 @@ def run(args) -> None:
             q_weights=[1.0, 1.0, 1.0],
             best_model_metric="Val_NDCG@10",
             eval_at=[1.0],
-            preset=args.preset,
+            preset=preset,
+            checkpoint_dir=(os.path.join(args.out, "ckpt")
+                            if checkpoint else None),
+            resume=checkpoint,
         ),
         metrics=MetricsConfig(
             topk_hr_ndcg=[10, 20],
@@ -339,6 +345,9 @@ def main() -> None:
     r.add_argument("--epochs", type=int, default=30)
     r.add_argument("--preset", default=None, choices=["fast", "reference"],
                    help="numerics preset (docs/performance.md); None = default arm")
+    r.add_argument("--checkpoint", action="store_true",
+                   help="epoch checkpoints + resume under <out>/ckpt (retry-safe "
+                        "long runs on a flaky link)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--out", required=True)
     r.set_defaults(fn=run)
