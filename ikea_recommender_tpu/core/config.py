@@ -167,6 +167,13 @@ class TrainConfig:
     # Resume support (an upgrade over the reference, which has none).
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # Max optimizer steps per device dispatch: training windows longer than
+    # this are split into multiple scanned dispatches. Bounds single-program
+    # execution time — long-running single dispatches can trip remote-backend
+    # watchdogs (observed: multi-second Q-family windows killing the axon
+    # TPU worker at the RetailRocket scale, r4) and delay preemption/health
+    # signals in production. A few extra dispatch RTTs per epoch.
+    max_window_batches: int = 1024
     # jax.profiler trace of the first training window (view in Perfetto /
     # TensorBoard). The reference has no tracing at all (SURVEY.md §5).
     profile_dir: Optional[str] = None

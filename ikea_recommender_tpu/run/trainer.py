@@ -721,15 +721,21 @@ def train(
                 jax.profiler.start_trace(t_cfg.profile_dir)
             if hi > lo:
                 t0 = time.perf_counter()
-                # ONE dispatch for the whole window: scan of (step + metrics)
-                state, train_accum, losses = run_window(
-                    state,
-                    train_accum,
-                    losses,
-                    train_data,
-                    idx_all[lo:hi],
-                    valid_all[lo:hi],
-                )
+                # One scanned dispatch per <= max_window_batches chunk of the
+                # window (bounds single-program execution time — see
+                # TrainConfig.max_window_batches); chunks share at most two
+                # compiled shapes (full + tail).
+                mwb = max(int(t_cfg.max_window_batches), 1)
+                for c0 in range(lo, hi, mwb):
+                    c1 = min(c0 + mwb, hi)
+                    state, train_accum, losses = run_window(
+                        state,
+                        train_accum,
+                        losses,
+                        train_data,
+                        idx_all[c0:c1],
+                        valid_all[c0:c1],
+                    )
                 win = jax.device_get(losses)  # window loss sums (sync)
                 train_time += time.perf_counter() - t0
                 total_sessions += int(valid_all[lo:hi].sum())
