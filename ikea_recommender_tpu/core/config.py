@@ -203,8 +203,12 @@ class TrainConfig:
             if self.optimizer_mv_dtype is None and self.preset == "fast":
                 self.optimizer_mv_dtype = "bfloat16"
             if self.qhead_optimizer is None and self.preset == "fast":
-                # no-op for non-Q families (run/trainer.py resolves it)
+                # no-op for non-Q families (run/trainer.py resolves it);
+                # the marker lets the trainer fall back to dense Adam when
+                # a lazy-qh precondition fails, instead of raising — only
+                # EXPLICIT qhead_optimizer settings hard-error.
                 self.qhead_optimizer = "lazy_adam"
+                self.qhead_from_preset = True
         if self.head_precision not in ("highest", "high", "default"):
             raise ValueError(
                 "train.head_precision must be one of highest/high/default, "
@@ -253,6 +257,11 @@ class MetricsConfig:
     """Evaluation protocol parameters (reference YAML section ``metrics``)."""
 
     div_emb_dir: Optional[str] = None
+    # SMORL without a frozen diversity embedding has a dead third objective
+    # (cosine sim ≡ 1 -> div reward ≡ 0). The trainer always warns loudly in
+    # that case; with require_div_emb it refuses to run (the RetailRocket
+    # product protocol sets this).
+    require_div_emb: bool = False
     unpopular_actions_path: Optional[str] = None
     topk_cov: List[int] = field(default_factory=lambda: [1, 5, 10, 20])
     topk_div: int = 1

@@ -114,6 +114,39 @@ class BestModelTracker:
     def load_best(self, template: Any) -> Any:
         return load_params_npz(template, self.params_path)
 
+    def restore(
+        self,
+        value: float,
+        epoch: int,
+        model_idx: int,
+        params: Any = None,
+        dims: Optional[Dict] = None,
+    ) -> None:
+        """Rehydrate tracker state from a resumed checkpoint (the best-model
+        scalars ride in the orbax payload — run/trainer.py). Re-materializes
+        the best-model files when ``params`` is given so a resume landing in
+        a fresh ``exp_dir`` still has them. Without this, a resumed run
+        starts the comparator at ±inf and the *final* test eval can silently
+        ship a later, worse model (reference contract:
+        utils/save_best_model.py:4-41 — the best model is whole-run best)."""
+        self.best = float(value)
+        self.best_epoch = int(epoch)
+        self.best_model_idx = int(model_idx)
+        if not self.write_files or params is None:
+            return
+        if not os.path.exists(self.params_path):
+            save_params_npz(params, self.params_path)
+            meta = {
+                "epoch": int(epoch),
+                "model_idx": int(model_idx),
+                "metric_name": self.metric_name,
+                "metric_value": float(value),
+            }
+            if dims:
+                meta.update(dims)
+            with open(self.meta_path, "w") as fh:
+                json.dump(meta, fh, indent=2)
+
 
 class CheckpointManager:
     """Full train-state save/restore via orbax (resume capability)."""

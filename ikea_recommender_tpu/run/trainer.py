@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
@@ -92,6 +93,11 @@ class TrainOutcome:
     best_params: Any = None
     throughput_sessions_per_sec: float = 0.0
     pretrain_metrics: Dict[str, float] = field(default_factory=dict)
+    # Wall-clock attribution of the train loop (seconds, whole run):
+    # idx_build (host index-matrix construction), dispatch (run_window call
+    # returns — includes the idx upload), sync (device_get at window end —
+    # device execution + any queue/tunnel stall), eval (validation passes).
+    timing: Dict[str, float] = field(default_factory=dict)
 
 
 def _eval_params_list(state, family):
@@ -422,6 +428,26 @@ def train(
 
     if div_embedding is None and m_cfg.div_emb_dir:
         div_embedding = load_div_embedding(m_cfg.div_emb_dir)
+    if div_embedding is None and family == "smorl":
+        # Without a frozen pretrained embedding the cosine similarity is
+        # identically 1 and the diversity reward identically 0 — the third
+        # SMORL objective silently trains against zeros. The reference's
+        # protocol is two-phase: a GRU4Rec run exports its embedding matrix
+        # (reference trainGRU.py:411-415) and SMORL loads it frozen via
+        # metrics.div_emb_dir (SMORL_paper.yaml:41). Refuse to hide that.
+        msg = (
+            "SMORL run has no diversity embedding (metrics.div_emb_dir unset "
+            "and no div_embedding passed): the diversity reward will be "
+            "identically 0 and the diversity Q-head trains against zeros. "
+            "Export embeddings from a GRU4Rec run "
+            "(experiment.save_pretrained_embeddings: true -> "
+            "embedding_weights.npy) and set metrics.div_emb_dir."
+        )
+        if m_cfg.require_div_emb:
+            raise ValueError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if jax.process_index() == 0:
+            print(f"[trainer] WARNING: {msg}")
     div_emb = (
         jnp.asarray(div_embedding)
         if div_embedding is not None
@@ -467,6 +493,36 @@ def train(
     lazy_qh = t_cfg.qhead_optimizer == "lazy_adam" and family in (
         "sqn", "smorl", "sarm",
     )
+    if lazy_qh:
+        # Preconditions of the lazy action-major Q-head path. When the
+        # setting came from `preset: fast` (not an explicit user choice),
+        # an unmet precondition falls back to dense Adam with a log line
+        # instead of raising — a preset must not crash configs that worked
+        # without it (ADVICE r4).
+        blocker = None
+        if t_cfg.double_q_optimizers == 1:
+            blocker = "double_q_optimizers=1 (lazy optimizers need 2)"
+        elif not model_cfg.fused_ce:
+            blocker = (
+                "the fused train path resolved off (fused_ce=False or "
+                "catalog under fused_ce_min_actions)"
+            )
+        elif family == "sqn" and t_cfg.head_idx not in (0,):
+            # eval_head would need the canonical (F, A) q-head kernel; the
+            # lazy state stores action-major (train/lazy_adam.py)
+            blocker = "head_idx != 0"
+        if blocker is not None:
+            if getattr(t_cfg, "qhead_from_preset", False):
+                if jax.process_index() == 0:
+                    print(
+                        f"[trainer] {blocker}: preset-fast qhead_optimizer "
+                        "falls back to dense Adam"
+                    )
+                lazy_qh = False
+            else:
+                raise ValueError(
+                    f"qhead_optimizer='lazy_adam' unsupported here: {blocker}"
+                )
     if lazy_qh and mesh is not None:
         # the lazy Q-head path is single-chip (the sharded fused kernels own
         # the mesh Q-head layout); preset=fast on a mesh falls back to the
@@ -474,15 +530,11 @@ def train(
         if jax.process_index() == 0:
             print("[trainer] mesh run: qhead_optimizer falls back to dense Adam")
         lazy_qh = False
-    if (lazy or lazy_qh) and family not in ("gru4rec", "bidir_gru4rec"):
+    if lazy and family not in ("gru4rec", "bidir_gru4rec"):
         if mesh is not None:
             raise ValueError("lazy optimizers are single-chip only (no mesh)")
         if t_cfg.double_q_optimizers == 1:
             raise ValueError("lazy optimizers need double_q_optimizers=2")
-    if lazy_qh and family == "sqn" and t_cfg.head_idx not in (0,):
-        # eval_head would need the canonical (F, A) q-head kernel, which the
-        # lazy state stores action-major (train/lazy_adam.py)
-        raise ValueError("qhead_optimizer='lazy_adam' requires head_idx=0")
     multiprocess = jax.process_count() > 1
     proc_sharded = (
         p_cfg.process_sharded
@@ -528,7 +580,9 @@ def train(
         if lazy:
             from ikea_recommender_tpu.train.state import make_lazy_train_state
 
-            return make_lazy_train_state(key, model_cfg, t_cfg.learning_rate)[0]
+            return make_lazy_train_state(
+                key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
+            )[0]
         return make_train_state(
             key, model_cfg, t_cfg.learning_rate, t_cfg.optimizer_mv_dtype
         )[0]
@@ -602,6 +656,29 @@ def train(
 
     ckpt_mngr = None
     start_epoch = 0
+    best_live = None  # in-memory copy of the whole-run best params
+    # The checkpoint payload carries the best-model tracker alongside the
+    # train state so a resume cannot change which model ships: without it
+    # the comparator restarts at ±inf and the final test eval may pick a
+    # later, worse model (this bit a real run — RESULTS.md r4 sqn row).
+    def _ckpt_payload(st, best):
+        return {
+            "train": st,
+            "best_meta": {
+                "metric": np.asarray(tracker.best, np.float32),
+                "epoch": np.asarray(
+                    -1 if tracker.best_epoch is None else tracker.best_epoch,
+                    np.int32,
+                ),
+                "model_idx": np.asarray(tracker.best_model_idx or 0, np.int32),
+                "has": np.asarray(0 if best is None else 1, np.int32),
+            },
+            # placeholder (current net-0 params) when no best exists yet
+            "best_params": (
+                best if best is not None else _eval_params_list(st, family)[0]
+            ),
+        }
+
     if t_cfg.checkpoint_dir:
         # orbax is multi-host native: every process calls save/restore; the
         # manager coordinates via jax.distributed barriers and each process
@@ -609,14 +686,25 @@ def train(
         # object store — is assumed, as in any orbax multi-host deployment).
         ckpt_mngr = CheckpointManager(t_cfg.checkpoint_dir)
         if t_cfg.resume:
-            restored = ckpt_mngr.restore(state)
+            restored = ckpt_mngr.restore(_ckpt_payload(state, None))
             if restored is not None:
-                state = restored
+                state = restored["train"]
+                bm = jax.device_get(restored["best_meta"])
+                if int(bm["has"]):
+                    best_live = restored["best_params"]
+                    tracker.restore(
+                        float(bm["metric"]),
+                        int(bm["epoch"]),
+                        int(bm["model_idx"]),
+                        params=best_live,
+                        dims=dims,
+                    )
                 start_epoch = int(ckpt_mngr.latest_step())
                 if jax.process_index() == 0:
                     print(
                         f"[resume] restored checkpoint, continuing at epoch "
-                        f"{start_epoch}"
+                        f"{start_epoch} (best {tracker.metric_name}="
+                        f"{tracker.best:.5f})"
                     )
 
     if mesh is not None and not multiprocess:
@@ -688,9 +776,10 @@ def train(
     log_counter = 0
     total_sessions = 0
     train_time = 0.0
-    best_live = None  # multiprocess: in-memory replicated best params
+    timing = {"idx_build": 0.0, "dispatch": 0.0, "sync": 0.0, "eval": 0.0}
 
     for epoch in range(start_epoch, t_cfg.epochs):
+        t_idx = time.perf_counter()
         rng = np.random.default_rng(cfg.seed * 100_003 + epoch)
         if proc_sharded:
             idx_all, valid_all = _sharded_index_matrices(
@@ -705,6 +794,7 @@ def train(
                 rng.permutation(len(train_buf)).astype(np.int32),
                 t_cfg.batch_size,
             )
+        timing["idx_build"] += time.perf_counter() - t_idx
         train_accum = protocol.init_accum()
         losses = _zero_losses()
 
@@ -736,7 +826,10 @@ def train(
                         idx_all[c0:c1],
                         valid_all[c0:c1],
                     )
+                t_disp = time.perf_counter()
+                timing["dispatch"] += t_disp - t0
                 win = jax.device_get(losses)  # window loss sums (sync)
+                timing["sync"] += time.perf_counter() - t_disp
                 train_time += time.perf_counter() - t0
                 total_sessions += int(valid_all[lo:hi].sum())
             if profiling:
@@ -745,12 +838,14 @@ def train(
                 continue
 
             n_win = max(int(win["n"]), 1)
+            t_ev = time.perf_counter()
             train_res = protocol.finalize(train_accum)
             nets = _eval_params_list(state, family)
             val_results = [
                 protocol.evaluate_device(p, val_data, t_cfg.val_batch_size)
                 for p in nets
             ]
+            timing["eval"] += time.perf_counter() - t_ev
             q_included = family != "gru4rec" and family != "bidir_gru4rec"
             log_dict = get_logging_dict_train(
                 train_sup_loss=float(win["sup"]) / n_win,
@@ -803,8 +898,15 @@ def train(
             if tracker(
                 value, epoch=log_counter, params=winner,
                 model_idx=model_idx, dims=dims,
-            ) and multiprocess:
-                best_live = winner
+            ):
+                # Keep a live copy in every mode: it rides in the epoch
+                # checkpoint (resume keeps the whole-run best) and serves
+                # the final test eval. Copy: `winner` aliases state buffers
+                # that the next donated window invalidates (multiprocess
+                # `_replicate_params` already produced a fresh copy).
+                best_live = (
+                    winner if multiprocess else jax.tree.map(jnp.copy, winner)
+                )
 
             logs.append(log_dict)
             if log_fn is not None:
@@ -820,14 +922,14 @@ def train(
             losses = _zero_losses()
 
         if ckpt_mngr is not None:
-            ckpt_mngr.save(epoch + 1, state)
+            ckpt_mngr.save(epoch + 1, _ckpt_payload(state, best_live))
 
     # ---- test with the reloaded best model ------------------------------
     template = _eval_params_list(state, family)[0]
-    if multiprocess:
-        best_params = best_live if best_live is not None else _replicate_params(
-            template, mesh
-        )
+    if best_live is not None:
+        best_params = best_live
+    elif multiprocess:
+        best_params = _replicate_params(template, mesh)
     elif os.path.exists(tracker.params_path):
         best_params = tracker.load_best(template)
     else:
@@ -868,4 +970,5 @@ def train(
         best_params=best_params,
         throughput_sessions_per_sec=throughput,
         pretrain_metrics=pretrain_metrics,
+        timing=dict(timing),
     )

@@ -58,9 +58,12 @@ class EmbAdamState:
         return self.mv[:, E:]
 
 
-def init_emb_adam(embedding: jax.Array) -> EmbAdamState:
+def init_emb_adam(embedding: jax.Array, mv_dtype=None) -> EmbAdamState:
+    """``mv_dtype`` (config ``optimizer_mv_dtype``) stores the moment buffer
+    in a reduced dtype; the update math always runs fp32 (the update casts
+    mv rows to fp32 and back — see emb_row_adam_update)."""
     V, E = embedding.shape
-    return EmbAdamState(mv=jnp.zeros((V, 2 * E), embedding.dtype))
+    return EmbAdamState(mv=jnp.zeros((V, 2 * E), mv_dtype or embedding.dtype))
 
 
 def dedupe_row_grads(
@@ -107,8 +110,8 @@ def emb_adam_update(
     gid = jnp.minimum(upd_ids, V - 1)  # safe gather; drops happen at scatter
 
     E = embedding.shape[1]
-    mv_rows = state.mv[gid]  # (n, 2E)
-    p_rows = embedding[gid]
+    mv_rows = state.mv[gid].astype(jnp.float32)  # (n, 2E), math in fp32
+    p_rows = embedding[gid].astype(jnp.float32)
 
     m_new = b1 * mv_rows[:, :E] + (1.0 - b1) * g
     v_new = b2 * mv_rows[:, E:] + (1.0 - b2) * g * g
@@ -183,10 +186,14 @@ def from_action_major(kernel_am: jax.Array, K: int) -> jax.Array:
     return kernel_am.T.reshape(K, F, A)
 
 
-def init_col_adam(kernel_am: jax.Array, K: int) -> ColAdamState:
+def init_col_adam(kernel_am: jax.Array, K: int, mv_dtype=None) -> ColAdamState:
+    """``mv_dtype`` (config ``optimizer_mv_dtype``) stores the moment buffer
+    in a reduced dtype; update math stays fp32 (qhead_row_adam_update)."""
     A, KF = kernel_am.shape
     F = KF // K
-    return ColAdamState(mv=jnp.zeros((A, K * 2 * (F + 1)), kernel_am.dtype))
+    return ColAdamState(
+        mv=jnp.zeros((A, K * 2 * (F + 1)), mv_dtype or kernel_am.dtype)
+    )
 
 
 def sort_batch_ids(idx: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -192,8 +192,8 @@ def make_lazy_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """TrainState whose opt_state is {'rest': adam-on-rest, 'emb': EmbAdamState}
     — no dense m/v traffic for the table (see train/lazy_adam.py).
-    ``mv_dtype`` applies to the DENSE ("rest") Adam moments only; the lazy
-    embedding rows keep the param dtype (their traffic is already sparse)."""
+    ``mv_dtype`` applies to the dense ("rest") moments AND the lazy moment
+    buffers (update math stays fp32 — lazy_adam.py)."""
     from ikea_recommender_tpu.train.lazy_adam import init_emb_adam
 
     k_init, k_state = jax.random.split(key)
@@ -203,7 +203,7 @@ def make_lazy_train_state(
     return (
         TrainState(
             params=params,
-            opt_state={"rest": opt.init(rest), "emb": init_emb_adam(emb)},
+            opt_state={"rest": opt.init(rest), "emb": init_emb_adam(emb, mv_dtype)},
             step=jnp.zeros((), jnp.int32),
             rng=k_state,
         ),
@@ -270,6 +270,7 @@ def _lazy_net_opt_state(
     family: str,
     lazy_emb: bool,
     lazy_qh: bool,
+    mv_dtype: str | None = None,
 ):
     """Per-net opt state for the lazy paths: {"rest": optax-on-dense-part,
     "emb"?: EmbAdamState, "qh"?: ColAdamState}. The dense part mirrors
@@ -282,16 +283,16 @@ def _lazy_net_opt_state(
     st: dict = {}
     if lazy_emb:
         emb, rest = split_embedding(rest)
-        st["emb"] = init_emb_adam(emb)
+        st["emb"] = init_emb_adam(emb, mv_dtype)
     if lazy_qh:
         qh, rest = split_qhead(rest, family)
         if family == "sarm":
             st["qh"] = init_col_adam(
-                qh["kernel_am"], qh["bias_rest"].shape[0]
+                qh["kernel_am"], qh["bias_rest"].shape[0], mv_dtype
             )
         else:
             K = qh["bias"].shape[0] if qh["bias"].ndim == 2 else 1
-            st["qh"] = init_col_adam(qh["kernel_am"], K)
+            st["qh"] = init_col_adam(qh["kernel_am"], K, mv_dtype)
     dense = {"rest": rest}
     if lazy_qh and family == "sarm":
         dense["h0"] = {"kernel": qh["kernel0"], "bias": qh["bias0"]}
@@ -325,8 +326,8 @@ def make_lazy_double_q_state(
         p2 = lazy_qhead_params(p2, fam)
     opt = make_optimizer(learning_rate, mv_dtype)
     opt_state = (
-        _lazy_net_opt_state(opt, p1, fam, lazy_emb, lazy_qh),
-        _lazy_net_opt_state(opt, p2, fam, lazy_emb, lazy_qh),
+        _lazy_net_opt_state(opt, p1, fam, lazy_emb, lazy_qh, mv_dtype),
+        _lazy_net_opt_state(opt, p2, fam, lazy_emb, lazy_qh, mv_dtype),
     )
     return (
         DoubleQState(
@@ -356,7 +357,9 @@ def make_lazy_sarm_state(
     return (
         TrainState(
             params=params,
-            opt_state=_lazy_net_opt_state(opt, params, "sarm", lazy_emb, lazy_qh),
+            opt_state=_lazy_net_opt_state(
+                opt, params, "sarm", lazy_emb, lazy_qh, mv_dtype
+            ),
             step=jnp.zeros((), jnp.int32),
             rng=k_state,
         ),

@@ -176,6 +176,13 @@ def main():
         n += 1
 
     # --- paper/SMORL-SQN-Exps: reward-structure experiments ----------------
+    # NOTE: the reference's two *-Q(s_next,a) yamls differ from their plain
+    # counterparts ONLY in exp_name/desc/buffer path — the Q(s_next,a)
+    # target structure never made it into a config knob there (the trainer
+    # code is identical), so both variant pairs intentionally map to the
+    # same trainer semantics here as well; only the reward-structure buffer
+    # differs. Values below mirror the reference yamls exactly
+    # (val_batch_size 5000, topk_cov [1,5]).
     for name, desc in [
         ("SQN-SMORL-OG-Reward-Struct", "SQN with the original click/buy reward structure"),
         ("SQN-SMORL-Rew1", "SQN with reward=1 for all actions"),
@@ -187,7 +194,8 @@ def main():
             f"experiments/paper/SMORL-SQN-Exps/{name}*/",
             desc, "sqn",
             dict(epochs=10, learning_rate=0.005, gamma=0.5,
-                 use_packed_seq=False),
+                 use_packed_seq=False, val_batch_size=5000),
+            metrics={**RR_METRICS, "topk_cov": [1, 5]},
         )
         n += 1
 

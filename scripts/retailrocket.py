@@ -51,6 +51,7 @@ Full protocol on a machine with the dataset:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -244,10 +245,36 @@ def run(args) -> None:
     meta = json.load(open(os.path.join(args.buffers, "meta.json")))
     A = meta["num_items"]
     os.makedirs(args.out, exist_ok=True)
+
+    # The frozen diversity-embedding chain (reference two-phase protocol:
+    # trainGRU.py:411-415 exports the GRU4Rec embedding matrix, SMORL loads
+    # it frozen via metrics.div_emb_dir — SMORL_paper.yaml:41). The gru4rec
+    # leg exports embedding_weights.npy to its --out; the smorl leg consumes
+    # --div-emb (or auto-discovers a sibling gru4rec run's export).
+    div_emb_path = getattr(args, "div_emb", None)
+    if args.family == "smorl" and not div_emb_path:
+        parent = os.path.dirname(os.path.abspath(args.out))
+        candidates = sorted(
+            glob.glob(os.path.join(parent, "*", "embedding_weights.npy"))
+        ) + sorted(glob.glob(os.path.join(parent, "embedding_weights.npy")))
+        pretrained = [c for c in candidates if "gru4rec" in c.lower()] or candidates
+        if pretrained:
+            div_emb_path = pretrained[0]
+            print(f"[run] smorl: auto-discovered diversity embedding "
+                  f"{div_emb_path}")
+        else:
+            raise SystemExit(
+                "[run] smorl needs a frozen diversity embedding: run the "
+                "gru4rec leg first (it exports embedding_weights.npy to its "
+                "--out) or pass --div-emb explicitly. Without it the "
+                "diversity reward is identically 0 (dead third objective)."
+            )
     cfg = Config(
         experiment=ExperimentConfig(
             exp_class="RetailRocket-Comparison", exp_name=f"{args.family}_paper",
             seed=args.seed,
+            # gru4rec is the embedding-pretraining leg of the chain
+            save_pretrained_embeddings=(args.family == "gru4rec"),
         ),
         data=DataConfig(
             num_items=A,
@@ -277,7 +304,11 @@ def run(args) -> None:
         ),
         metrics=MetricsConfig(
             topk_hr_ndcg=[10, 20],
-            topk_cov=[10, 20],
+            # reference ks (SMORL_paper.yaml:45); r4 drifted to [10, 20]
+            topk_cov=[1, 5, 10, 20],
+            topk_div=1,
+            div_emb_dir=div_emb_path,
+            require_div_emb=(args.family == "smorl"),
             unpopular_actions_path=os.path.join(
                 args.buffers, "unpopular_items.json"
             ),
@@ -302,6 +333,9 @@ def run(args) -> None:
             "best_epoch": out.best_epoch,
             "test_metrics": out.test_metrics,
             "train_sessions_per_sec": out.throughput_sessions_per_sec,
+            "timing": out.timing,  # idx_build/dispatch/sync/eval breakdown
+            "div_emb": div_emb_path,
+            "preset": preset,
             "logs": out.logs,  # per-eval-point metric curves
         }, fh, indent=2)
 
@@ -349,6 +383,10 @@ def main() -> None:
                    help="epoch checkpoints + resume under <out>/ckpt (retry-safe "
                         "long runs on a flaky link)")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--div-emb", default=None,
+                   help="frozen diversity-embedding export for smorl "
+                        "(embedding_weights.npy from a gru4rec leg); "
+                        "auto-discovered next to --out when omitted")
     r.add_argument("--out", required=True)
     r.set_defaults(fn=run)
 

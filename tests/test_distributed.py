@@ -224,8 +224,14 @@ def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
         resumed[0]["last_val_ndcg"], resumed[1]["last_val_ndcg"], rtol=1e-6
     )
     # the resumed run's FINAL eval point equals the uninterrupted run's
-    # (pure function of the final state; the best-model bookkeeping differs
-    # by construction — phase 2's tracker starts fresh)
+    # (pure function of the final state)
     np.testing.assert_allclose(
         resumed[0]["last_val_ndcg"], straight[0]["last_val_ndcg"], rtol=1e-6
+    )
+    # the best-model tracker rides in the checkpoint (r5): the resumed
+    # run's whole-run best AND its best-model test eval equal the
+    # uninterrupted run's — a resume can no longer change which model ships
+    np.testing.assert_allclose(resumed[0]["best"], straight[0]["best"], rtol=1e-6)
+    np.testing.assert_allclose(
+        resumed[0]["test_ndcg"], straight[0]["test_ndcg"], rtol=1e-6
     )

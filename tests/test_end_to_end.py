@@ -94,6 +94,23 @@ def test_double_q_families_run_and_learn(tmp_path, model):
     assert meta["model_idx"] in (1, 2)
 
 
+def test_smorl_without_div_embedding_warns_or_raises(tmp_path):
+    """SMORL with no frozen diversity embedding has a dead third objective
+    (div reward ≡ 0, r4 VERDICT missing-2). The trainer must be loud about
+    it — warn by default, refuse under metrics.require_div_emb."""
+    train_buf, val_buf = _buffers()
+    cfg = _cfg(tmp_path / "warn", model="smorl", epochs=1)
+    with pytest.warns(RuntimeWarning, match="no diversity embedding"):
+        out = train(cfg, train_buf=train_buf, val_buf=val_buf,
+                    unpopular=set(range(0, A, 3)))
+    assert out.logs[-1]["Val_Div_Reward"] == 0.0  # the warned-about fact
+    cfg2 = _cfg(tmp_path / "strict", model="smorl", epochs=1)
+    cfg2.metrics.require_div_emb = True
+    with pytest.raises(ValueError, match="no diversity embedding"):
+        train(cfg2, train_buf=train_buf, val_buf=val_buf,
+              unpopular=set(range(0, A, 3)))
+
+
 def test_sqn_single_optimizer_runs_and_learns(tmp_path):
     """double_q_optimizers=1 (shared-Adam ablation arm) trains end-to-end
     through the trainer/config surface (experiments/Ablations/SQN-1optimizer)."""
@@ -115,11 +132,41 @@ def test_resume_from_checkpoint(tmp_path):
     ckpt_dir = str(tmp_path / "ckpt")
     cfg = _cfg(tmp_path, epochs=1, checkpoint_dir=ckpt_dir)
     train_buf, val_buf = _buffers()
-    train(cfg, train_buf=train_buf, val_buf=val_buf)
+    out1 = train(cfg, train_buf=train_buf, val_buf=val_buf)
     # Second run resumes at epoch 1 and extends to 2 epochs.
     cfg2 = _cfg(tmp_path, epochs=2, checkpoint_dir=ckpt_dir, resume=True)
     out2 = train(cfg2, train_buf=train_buf, val_buf=val_buf)
     assert np.isfinite(out2.best_metric)
+    # The best-model tracker rides in the checkpoint: the resumed run's
+    # comparator starts at the leg-1 best, not -inf, so the whole-run best
+    # can only improve monotonically across the interruption.
+    assert out2.best_metric >= out1.best_metric
+    # And a resumed run with NO further improvement still ships leg-1's
+    # best params/metric (reference utils/save_best_model.py semantics).
+    cfg3 = _cfg(tmp_path / "leg3", epochs=2, checkpoint_dir=ckpt_dir, resume=True)
+    out3 = train(cfg3, train_buf=train_buf, val_buf=val_buf)
+    assert out3.best_metric >= out2.best_metric
+    if out3.best_epoch == out2.best_epoch:
+        assert out3.best_metric == out2.best_metric
+
+
+def test_resume_equals_uninterrupted_best(tmp_path):
+    """Kill-and-resume (single-process): the resumed run reports the SAME
+    whole-run best metric/epoch as an uninterrupted run — the r4 rehearsal
+    bug (resume reset the tracker, shipping the final-epoch model instead
+    of the whole-run best) stays fixed."""
+    train_buf, val_buf = _buffers()
+    # Uninterrupted 3-epoch run.
+    cfg_full = _cfg(tmp_path / "full", epochs=3)
+    out_full = train(cfg_full, train_buf=train_buf, val_buf=val_buf)
+    # Interrupted: 2 epochs, then resume to 3.
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg_a = _cfg(tmp_path / "legA", epochs=2, checkpoint_dir=ckpt_dir)
+    train(cfg_a, train_buf=train_buf, val_buf=val_buf)
+    cfg_b = _cfg(tmp_path / "legB", epochs=3, checkpoint_dir=ckpt_dir, resume=True)
+    out_b = train(cfg_b, train_buf=train_buf, val_buf=val_buf)
+    np.testing.assert_allclose(out_b.best_metric, out_full.best_metric, rtol=1e-6)
+    assert out_b.test_metrics == out_full.test_metrics
 
 
 def test_raw_val_file_eval_path(tmp_path):

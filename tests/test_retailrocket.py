@@ -70,9 +70,38 @@ def test_buffer_artifacts(protocol_dirs):
 
 def test_paper_point_trains(protocol_dirs, tmp_path):
     root, _, _, bufs = protocol_dirs
-    out = str(tmp_path / "run")
+    out = str(tmp_path / "gru4rec_run")
     rr.run(argparse.Namespace(
         buffers=bufs, family="gru4rec", epochs=1, seed=0, out=out
     ))
     metrics = json.load(open(os.path.join(out, "test_metrics.json")))
     assert any("NDCG@10" in k for k in metrics)
+    # the gru4rec leg is the embedding-pretraining phase of the SMORL chain
+    # (reference trainGRU.py:411-415): it must export its embedding matrix
+    emb_path = os.path.join(out, "embedding_weights.npy")
+    assert os.path.exists(emb_path)
+
+    # smorl leg: auto-discovers the sibling gru4rec export and trains with a
+    # REAL (nonzero) diversity reward — the r4 rehearsal silently ran with
+    # div ≡ 0 (VERDICT r4 missing-2); the protocol now refuses that.
+    smorl_out = str(tmp_path / "smorl_run")
+    rr.run(argparse.Namespace(
+        buffers=bufs, family="smorl", epochs=1, seed=0, out=smorl_out
+    ))
+    summary = json.load(open(os.path.join(smorl_out, "run_summary.json")))
+    test_metrics = json.load(
+        open(os.path.join(smorl_out, "test_metrics.json"))
+    )
+    div_keys = [k for k in test_metrics if "Div_Reward" in k]
+    assert div_keys and any(test_metrics[k] != 0.0 for k in div_keys), (
+        test_metrics, summary.get("family"),
+    )
+
+
+def test_smorl_without_pretrained_embeddings_refuses(protocol_dirs, tmp_path):
+    _, _, _, bufs = protocol_dirs
+    with pytest.raises(SystemExit, match="diversity embedding"):
+        rr.run(argparse.Namespace(
+            buffers=bufs, family="smorl", epochs=1, seed=0,
+            out=str(tmp_path / "isolated" / "smorl_run"),
+        ))

@@ -54,6 +54,10 @@ def _buffers():
 
 
 def _run(tmp_path, model, parallel, **kw):
+    if model == "sarm":
+        # reference γ=0.99 self-bootstrap diverges (RESULTS.md); the
+        # stabilized arm keeps the parity comparison on finite numbers
+        kw.setdefault("sarm_gamma", 0.5)
     cfg = _cfg(tmp_path, model=model, parallel=parallel, **kw)
     train_buf, val_buf = _buffers()
     extra = {}
@@ -75,7 +79,7 @@ _COMPARE_KEYS = (
 )
 
 
-@pytest.mark.parametrize("model", ["gru4rec", "smorl"])
+@pytest.mark.parametrize("model", ["gru4rec", "smorl", "sqn", "sarm"])
 def test_mesh_train_matches_single_device(tmp_path, model):
     ref = _run(tmp_path / "single", model, ParallelConfig())
     got = _run(tmp_path / "mesh", model, ParallelConfig(data=4, model=2))
