@@ -270,3 +270,89 @@ def sharded_sup_topk(
         data_axis=data_axis,
     )
     return jax.lax.stop_gradient(top_i)
+
+
+# ---------------------------------------------------------------------------
+# Replicated-kernel data-parallel islands (the lazy action-major Q-head
+# path on a mesh).
+#
+# The lazy optimizer keeps the Q-head ACTION-MAJOR ((A, K*F) kernel_am +
+# packed row moments — train/lazy_adam.py) and REPLICATED across the mesh:
+# its per-step update touches only the batch's B action rows, so the whole
+# data-parallel exchange is the O(B*K*F) cotangent-row all-gather GSPMD
+# inserts at the scatter — ~KBs/step instead of the dense path's
+# O(A*K*F) gradient all-reduce (SCALING.md's ~25x "sparse-sync" lever).
+# XLA cannot partition a Pallas custom call, so the forward max/argmax
+# kernels over the full replicated kernel run in a shard_map island that
+# splits ONLY the batch rows across the data axis; there is no collective
+# in the island at all. The model axis re-runs the same kernel on the same
+# rows (cheap: the fused argmax is O(B/D * A * F) bf16 — a few % of the
+# step), while the heavy sup-head CE stays action-sharded as before.
+# ---------------------------------------------------------------------------
+
+
+def _dp_island(fn, mesh: Mesh, data_axis: str | None, n_batch: int, n_args: int):
+    """shard_map wrapper: the first ``n_batch`` array args are row-sharded
+    on the data axis, the remaining ``n_args - n_batch`` replicated; every
+    output is row-sharded. No collectives inside."""
+    in_specs = tuple(
+        P(data_axis) if i < n_batch else P() for i in range(n_args)
+    )
+    return shard_map(
+        fn, mesh=mesh, check_vma=False, in_specs=in_specs,
+        out_specs=P(data_axis),
+    )
+
+
+def dp_linear_argmax_am(
+    h: jax.Array,  # (B, F)
+    kernel_am: jax.Array,  # (A_pad, F) action-major, REPLICATED
+    bias: jax.Array,  # (A_pad,) or (1, A_pad)
+    valid_dim: int,
+    mesh: Mesh,
+    data_axis: str | None = None,
+    precision: str = "highest",
+) -> jax.Array:
+    """fused_linear_argmax over the replicated action-major single head,
+    batch split on the data axis (SQN lazy target action). NOT diff."""
+    from ikea_recommender_tpu.ops.fused_argmax import fused_linear_argmax
+
+    def local(h_l, k_l, b_l):
+        return fused_linear_argmax(
+            h_l, k_l, b_l, valid_dim, precision, action_major=True
+        )
+
+    return _dp_island(local, mesh, data_axis, 1, 3)(
+        jax.lax.stop_gradient(h),
+        jax.lax.stop_gradient(kernel_am),
+        jax.lax.stop_gradient(bias),
+    )
+
+
+def dp_weighted_multihead_argmax_am(
+    h: jax.Array,  # (B, F)
+    kernel_am: jax.Array,  # (A_pad, K*F) action-major, REPLICATED
+    bias: jax.Array,  # (K, A_pad)
+    q_weights: jax.Array,  # (K,)
+    valid_dim: int,
+    mesh: Mesh,
+    data_axis: str | None = None,
+    precision: str = "highest",
+) -> jax.Array:
+    """SMORL scalarized target action over the replicated action-major
+    multihead, batch split on the data axis. NOT differentiable."""
+    from ikea_recommender_tpu.ops.fused_argmax import (
+        fused_weighted_multihead_argmax,
+    )
+
+    def local(h_l, k_l, b_l, qw_l):
+        return fused_weighted_multihead_argmax(
+            h_l, k_l, b_l, qw_l, valid_dim, precision, action_major=True
+        )
+
+    return _dp_island(local, mesh, data_axis, 1, 4)(
+        jax.lax.stop_gradient(h),
+        jax.lax.stop_gradient(kernel_am),
+        jax.lax.stop_gradient(bias),
+        jnp.asarray(q_weights, jnp.float32),
+    )

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ikea_recommender_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
+def _spec_for(path_keys, leaf, mesh: Mesh, lazy_qh: bool = False) -> P:
     """PartitionSpec for one parameter leaf, by name + rank.
 
     Handles both single nets and double-Q (net0, net1) pairs — the tuple
@@ -60,6 +60,13 @@ def _spec_for(path_keys, leaf, mesh: Mesh) -> P:
     if name == "mv" and "emb" in joined:
         # lazy-Adam packed (V+1, 2E) embedding moments: rows follow the table
         return guarded([None] * (rank - 2) + [MODEL_AXIS, None])
+    if lazy_qh and ("q_head" in joined or "q_heads" in joined):
+        # lazy ACTION-MAJOR layout (train/lazy_adam.py): the whole Q-head
+        # (kernel_am + bias + packed moments) stays REPLICATED — its
+        # per-step sparse-row update makes replication the cheap choice
+        # (parallel/q_kernels.py dp islands), and the dp island kernels
+        # read the full kernel per device.
+        return P()
     if "sup_head" in joined or "q_head" in joined or "q_heads" in joined:
         if name in ("kernel", "bias"):
             # trailing dim is the action dim in every head layout
@@ -83,11 +90,19 @@ def state_shardings(state: Any, mesh: Mesh) -> Any:
                 return str(getattr(p, attr))
         return str(p)
 
+    # Detect the lazy action-major Q-head layout once for the whole tree:
+    # its leaves ("kernel_am") and its sibling "bias" must stay replicated,
+    # and "bias" alone cannot be told apart from the canonical layout.
+    lazy_qh = any(
+        any(_k(p) == "kernel_am" for p in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(state)[0]
+    )
+
     def one(path, leaf):
         keys = [_k(p) for p in path]
         if np.ndim(leaf) == 0 or (hasattr(leaf, "dtype") and "key" in str(leaf.dtype)):
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _spec_for(keys, leaf, mesh))
+        return NamedSharding(mesh, _spec_for(keys, leaf, mesh, lazy_qh))
 
     return jax.tree_util.tree_map_with_path(one, state)
 

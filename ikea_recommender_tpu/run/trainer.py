@@ -511,6 +511,13 @@ def train(
             # eval_head would need the canonical (F, A) q-head kernel; the
             # lazy state stores action-major (train/lazy_adam.py)
             blocker = "head_idx != 0"
+        elif mesh is not None and family == "sarm":
+            # SARM's lazy layout splits off a densely-updated head 0 whose
+            # full-catalog CE grad would lose its action sharding under the
+            # replicated-lazy scheme — dense sharded Adam stays the mesh arm
+            blocker = "sarm on a mesh (head-0 dense split)"
+        elif mesh is not None and jax.process_count() > 1:
+            blocker = "multi-process mesh (lazy-qh is single-process for now)"
         if blocker is not None:
             if getattr(t_cfg, "qhead_from_preset", False):
                 if jax.process_index() == 0:
@@ -523,16 +530,14 @@ def train(
                 raise ValueError(
                     f"qhead_optimizer='lazy_adam' unsupported here: {blocker}"
                 )
-    if lazy_qh and mesh is not None:
-        # the lazy Q-head path is single-chip (the sharded fused kernels own
-        # the mesh Q-head layout); preset=fast on a mesh falls back to the
-        # dense sharded arm
-        if jax.process_index() == 0:
-            print("[trainer] mesh run: qhead_optimizer falls back to dense Adam")
-        lazy_qh = False
     if lazy and family not in ("gru4rec", "bidir_gru4rec"):
-        if mesh is not None:
-            raise ValueError("lazy optimizers are single-chip only (no mesh)")
+        if mesh is not None and (
+            family == "sarm" or jax.process_count() > 1
+        ):
+            raise ValueError(
+                "optimizer='lazy_adam' on a mesh supports sqn/smorl "
+                "single-process only (sarm: head0-dense split)"
+            )
         if t_cfg.double_q_optimizers == 1:
             raise ValueError("lazy optimizers need double_q_optimizers=2")
     multiprocess = jax.process_count() > 1

@@ -770,10 +770,15 @@ def sqn_train_step_lazy(
     opt: optax.GradientTransformation,
     rl: RLStepConfig,
     lazy: LazyCfg,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
-    """SQN step with lazy embedding rows and/or lazy Q-head columns
-    (single-chip fused path only; see ``sqn_train_step`` for semantics —
-    the loss is identical, only the parameter/optimizer plumbing differs)."""
+    """SQN step with lazy embedding rows and/or lazy Q-head columns (see
+    ``sqn_train_step`` for semantics — the loss is identical, only the
+    parameter/optimizer plumbing differs). With a mesh the action-major
+    Q-head stays REPLICATED (parallel/q_kernels.py dp islands): the only
+    data-parallel exchange for it is the O(B) cotangent-row gather GSPMD
+    inserts at the sparse update — not a dense (F, A) grad all-reduce."""
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)
     boot_len = batch["true_len"] if rl.compat_boot_len_bug else batch["true_next_len"]
@@ -794,7 +799,8 @@ def sqn_train_step_lazy(
             p_feat, model_cfg, batch["state"], batch["true_len"]
         )
         sup_loss_f = _fused_sup_ce(
-            p_feat, model_cfg, h, batch["action"], batch["valid"]
+            p_feat, model_cfg, h, batch["action"], batch["valid"],
+            mesh, data_axis,
         )
         if lazy.qh_lr is not None:
             q = _q_from_rows(h, diff, ctx["aux"])[:, 0]
@@ -816,11 +822,22 @@ def sqn_train_step_lazy(
             p_boot, model_cfg, batch["next_state"], boot_len
         )
         if lazy.qh_lr is not None:
-            max_a_next = fused_linear_argmax(
-                h_next, qh_full["kernel_am"], qh_full["bias"],
-                model_cfg.action_dim, model_cfg.head_precision,
-                action_major=True,
-            )
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.q_kernels import (
+                    dp_linear_argmax_am,
+                )
+
+                max_a_next = dp_linear_argmax_am(
+                    h_next, qh_full["kernel_am"], qh_full["bias"],
+                    model_cfg.action_dim, mesh, data_axis,
+                    model_cfg.head_precision,
+                )
+            else:
+                max_a_next = fused_linear_argmax(
+                    h_next, qh_full["kernel_am"], qh_full["bias"],
+                    model_cfg.action_dim, model_cfg.head_precision,
+                    action_major=True,
+                )
             q_next_boot = jax.lax.stop_gradient(
                 q_from_rows(
                     h_next_boot,
@@ -1034,10 +1051,13 @@ def smorl_train_step_lazy(
     div_embedding: jax.Array,
     unpopular_mask: jax.Array,
     out_to_in: Optional[jax.Array] = None,
+    mesh=None,
+    data_axis=None,
 ) -> Tuple[DoubleQState, Dict[str, jax.Array]]:
     """SMORL step with lazy embedding rows and/or lazy Q-head columns
-    (single-chip fused path only; loss semantics identical to
-    ``smorl_train_step``)."""
+    (loss semantics identical to ``smorl_train_step``). With a mesh the
+    action-major Q-heads stay replicated (see ``sqn_train_step_lazy``);
+    the sup-head CE+topk keeps the action-SHARDED single pass."""
     rng = jax.random.fold_in(state.rng, state.step)
     idx = jax.random.bernoulli(rng).astype(jnp.int32)
 
@@ -1063,19 +1083,31 @@ def smorl_train_step_lazy(
         sh = diff["rest"]["sup_head"]
         top_i = None
         if k_need:
-            from ikea_recommender_tpu.ops.fused_ce import (
-                fused_softmax_ce_topk,
-            )
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.fused_ce import (
+                    sharded_fused_softmax_ce_topk,
+                )
 
-            per_ce, top_i = fused_softmax_ce_topk(
-                h.astype(jnp.float32), sh["kernel"], sh["bias"],
-                batch["action"], k_need, model_cfg.action_dim,
-                model_cfg.head_precision,
-            )
+                per_ce, top_i = sharded_fused_softmax_ce_topk(
+                    h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                    batch["action"], k_need, mesh, model_cfg.action_dim,
+                    data_axis, model_cfg.head_precision,
+                )
+            else:
+                from ikea_recommender_tpu.ops.fused_ce import (
+                    fused_softmax_ce_topk,
+                )
+
+                per_ce, top_i = fused_softmax_ce_topk(
+                    h.astype(jnp.float32), sh["kernel"], sh["bias"],
+                    batch["action"], k_need, model_cfg.action_dim,
+                    model_cfg.head_precision,
+                )
             sup_loss = _masked_mean(per_ce, batch["valid"])
         else:
             sup_loss = _fused_sup_ce(
-                p_feat, model_cfg, h, batch["action"], batch["valid"]
+                p_feat, model_cfg, h, batch["action"], batch["valid"],
+                mesh, data_axis,
             )
         if lazy.qh_lr is not None:
             q = _q_from_rows(h, diff, ctx["aux"])  # (B, K)
@@ -1097,11 +1129,22 @@ def smorl_train_step_lazy(
             p_boot, model_cfg, batch["next_state"], boot_len
         )
         if lazy.qh_lr is not None:
-            max_a_next = fused_weighted_multihead_argmax(
-                h_next, qh_full["kernel_am"], qh_full["bias"], w,
-                model_cfg.action_dim, model_cfg.head_precision,
-                action_major=True,
-            )
+            if mesh is not None:
+                from ikea_recommender_tpu.parallel.q_kernels import (
+                    dp_weighted_multihead_argmax_am,
+                )
+
+                max_a_next = dp_weighted_multihead_argmax_am(
+                    h_next, qh_full["kernel_am"], qh_full["bias"], w,
+                    model_cfg.action_dim, mesh, data_axis,
+                    model_cfg.head_precision,
+                )
+            else:
+                max_a_next = fused_weighted_multihead_argmax(
+                    h_next, qh_full["kernel_am"], qh_full["bias"], w,
+                    model_cfg.action_dim, model_cfg.head_precision,
+                    action_major=True,
+                )
             q_next_boot = jax.lax.stop_gradient(
                 q_from_rows(
                     h_next_boot,
@@ -1428,13 +1471,17 @@ def make_train_step(
     if lazy_qhead_lr is not None and fam not in ("sqn", "smorl", "sarm"):
         raise ValueError("qhead_optimizer='lazy_adam' needs a Q family")
     if lazy.on and fam not in ("gru4rec", "bidir_gru4rec"):
-        if mesh is not None:
-            raise ValueError("lazy optimizers are single-chip only (no mesh)")
+        if mesh is not None and fam == "sarm":
+            # sqn/smorl lazy (emb and/or qh) are mesh-capable (replicated
+            # action-major heads + dp islands; GSPMD row exchange for the
+            # sharded embedding); SARM's head0-dense split remains
+            # single-chip (run/trainer.py falls back to dense)
+            raise ValueError("mesh + lazy is not supported for sarm")
         if not model_cfg.fused_ce:
             raise ValueError("lazy optimizers require the fused train path")
         if fam == "sqn":
             raw = lambda state, batch, aux: sqn_train_step_lazy(
-                state, batch, model_cfg, opt, rl, lazy
+                state, batch, model_cfg, opt, rl, lazy, mesh, data_axis
             )
         elif fam == "smorl":
             if div_embedding is None or unpopular_mask is None:
@@ -1452,6 +1499,8 @@ def make_train_step(
                 div_embedding=aux["div_embedding"],
                 unpopular_mask=aux["unpopular_mask"],
                 out_to_in=aux.get("out_to_in"),
+                mesh=mesh,
+                data_axis=data_axis,
             )
         else:  # sarm
             raw = lambda state, batch, aux: sarm_train_step_lazy(

@@ -90,7 +90,8 @@ def collective_bytes(compiled) -> dict:
 
 
 def build_sharded(model: str, data: int, model_par: int, catalog=70852,
-                  batch=256, state_len=10, emb=64):
+                  batch=256, state_len=10, emb=64, lazy_qh=False,
+                  lazy_emb=False):
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
     from ikea_recommender_tpu.core.mesh import MeshSpec, make_mesh, DATA_AXIS
     from ikea_recommender_tpu.models.families import model_config_from_train
@@ -131,9 +132,25 @@ def build_sharded(model: str, data: int, model_par: int, catalog=70852,
     raw = make_train_step(
         mc, opt, RLStepConfig(), **aux, jit=False,
         mesh=mesh, data_axis=DATA_AXIS,
+        lazy_qhead_lr=(0.01 if lazy_qh else None),
+        lazy_embedding_lr=(0.01 if lazy_emb else None),
     )
     if model in ("sqn", "smorl"):
-        state, _ = make_double_q_state(jax.random.key(0), mc, 0.01)
+        if lazy_qh or lazy_emb:
+            from ikea_recommender_tpu.train.state import (
+                make_lazy_double_q_state,
+            )
+
+            state, _ = make_lazy_double_q_state(
+                jax.random.key(0), mc, 0.01,
+                lazy_qh=lazy_qh, lazy_emb=lazy_emb,
+            )
+        else:
+            state, _ = make_double_q_state(jax.random.key(0), mc, 0.01)
+    elif lazy_emb:
+        from ikea_recommender_tpu.train.state import make_lazy_train_state
+
+        state, _ = make_lazy_train_state(jax.random.key(0), mc, 0.01)
     else:
         state, _ = make_train_state(jax.random.key(0), mc, 0.01)
     batch_d = {
@@ -162,18 +179,30 @@ def build_sharded(model: str, data: int, model_par: int, catalog=70852,
 
 def main():
     rows = []
-    for model in ("gru4rec", "smorl"):
+    # (family, lazy_qh, lazy_emb): dense baselines, the fast-preset arm
+    # (lazy_qh), and the full sparse-sync arm (lazy emb + qh)
+    arms = [
+        ("gru4rec", False, False), ("gru4rec", False, True),
+        ("smorl", False, False), ("sqn", True, False),
+        ("smorl", True, False), ("sqn", True, True), ("smorl", True, True),
+    ]
+    for model, lazy_qh, lazy_emb in arms:
         for data, model_par in [(2, 1), (4, 1), (8, 1), (1, 2), (2, 2),
                                 (4, 2), (2, 4)]:
             if data * model_par > len(jax.devices()):
                 continue
-            compiled = build_sharded(model, data, model_par)
+            compiled = build_sharded(
+                model, data, model_par, lazy_qh=lazy_qh, lazy_emb=lazy_emb
+            )
             cb = collective_bytes(compiled)
             total = sum(cb.values())
-            rows.append((model, data, model_par, cb, total))
+            rows.append((model, lazy_qh, lazy_emb, data, model_par, cb, total))
             by_op = {k: round(v / 1e6, 3) for k, v in cb.items()}
+            tag = ("+lazy_qh" if lazy_qh else "") + (
+                "+lazy_emb" if lazy_emb else ""
+            )
             print(
-                f"{model} data={data} model={model_par}: "
+                f"{model}{tag} data={data} model={model_par}: "
                 f"{total/1e6:.3f} MB/step  {by_op}",
                 flush=True,
             )

@@ -111,12 +111,23 @@ def _single_process_trainer_reference():
 
     spec = importlib.util.spec_from_file_location("_tw", _TRAINER_WORKER)
     tw = importlib.util.module_from_spec(spec)
-    # stop the module body from re-initializing jax.distributed
-    sys.argv_backup = sys.argv
-    src = open(_TRAINER_WORKER).read()
-    src = src.replace("coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])", "coordinator, nprocs, pid = None, 1, 0")
-    src = src.replace("jax.distributed.initialize(\n    coordinator_address=coordinator, num_processes=nprocs, process_id=pid\n)", "")
-    exec(compile(src, _TRAINER_WORKER, "exec"), tw.__dict__)
+    # stop the module body from re-initializing jax.distributed, and give
+    # it a clean 4-element argv (the module parses optional argv[4:] — with
+    # pytest's own argv it would int() a test-file path)
+    # force backend init NOW with conftest's 8-device flags — the worker
+    # body appends device_count=2 to XLA_FLAGS, which must stay a no-op
+    import jax
+
+    jax.devices()
+    argv_backup = sys.argv
+    sys.argv = [_TRAINER_WORKER, "localhost:0", "1", "0"]
+    try:
+        src = open(_TRAINER_WORKER).read()
+        src = src.replace("coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])", "coordinator, nprocs, pid = None, 1, 0")
+        src = src.replace("jax.distributed.initialize(\n    coordinator_address=coordinator, num_processes=nprocs, process_id=pid\n)", "")
+        exec(compile(src, _TRAINER_WORKER, "exec"), tw.__dict__)
+    finally:
+        sys.argv = argv_backup
 
     from ikea_recommender_tpu.data.synthetic import synthetic_buffers
     from ikea_recommender_tpu.run.trainer import train
