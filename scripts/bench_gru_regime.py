@@ -95,8 +95,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", default="full", choices=["small", "full"])
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--hs", type=int, nargs="*", default=None,
+                    help="override the H list (e.g. --hs 512)")
     args = ap.parse_args()
     Hs = [64, 256] if args.grid == "small" else [64, 128, 256, 512]
+    if args.hs:
+        Hs = args.hs
     Ts = [10, 50] if args.grid == "small" else [10, 50, 200]
 
     print("| H | T | XLA scan µs | Pallas µs | Pallas/XLA |")
