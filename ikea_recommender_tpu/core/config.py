@@ -268,6 +268,14 @@ class MetricsConfig:
     topk_hr_ndcg: List[int] = field(default_factory=lambda: [10, 20])
     topk_nov: int = 1
     nov_rew_sig: float = 1.0
+    # Per-batch TRAIN-metric accumulation inside the train windows
+    # (reference trainGRU.py:385-395 computes HR/NDCG/coverage/rewards on
+    # every train batch). At large catalogs this costs a second full-catalog
+    # top-k pass per optimizer step (measured: scripts/ab_inloop_accum.py,
+    # RESULTS.md). False skips it: Train_* metric keys log as 0,
+    # losses/val/test are unaffected. A production speed lever; keep True
+    # for reference-parity logs.
+    train_metrics: bool = True
     # Fused blockwise/sharded evaluation (ops/fused_topk.py): the eval pass
     # never materializes (B, A) logits. None = auto (on for big catalogs and
     # whenever the head is model-sharded), True/False = force.

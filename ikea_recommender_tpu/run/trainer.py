@@ -265,7 +265,8 @@ def _constrain_replicated(tree, mesh):
     return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), tree)
 
 
-def _make_window_runner(step, protocol, family, mesh=None, process_sharded=False):
+def _make_window_runner(step, protocol, family, mesh=None, process_sharded=False,
+                        train_metrics=True):
     """One jitted dispatch per eval WINDOW: lax.scan over batches, each
     iteration gathering its batch from the device-resident buffer, running
     the optimizer step, and accumulating train metrics + loss sums. Host
@@ -290,21 +291,27 @@ def _make_window_runner(step, protocol, family, mesh=None, process_sharded=False
             if mesh is not None:
                 batch = _constrain_batch(batch, mesh)
             new_state, metrics = step.raw(state, batch, step_aux)
-            params = (
-                select_net(new_state.params, 0)
-                if family in DOUBLE_Q_FAMILIES
-                else new_state.params
-            )
-            new_accum = protocol._batch_update(
-                params,
-                accum,
-                batch["state"],
-                batch["action"],
-                batch["true_len"],
-                batch["valid"],
-                proto_aux,
-                batch.get("action_type"),
-            )
+            if train_metrics:
+                params = (
+                    select_net(new_state.params, 0)
+                    if family in DOUBLE_Q_FAMILIES
+                    else new_state.params
+                )
+                new_accum = protocol._batch_update(
+                    params,
+                    accum,
+                    batch["state"],
+                    batch["action"],
+                    batch["true_len"],
+                    batch["valid"],
+                    proto_aux,
+                    batch.get("action_type"),
+                )
+            else:
+                # metrics.train_metrics=false: skip the per-batch full-
+                # catalog top-k accumulation (a production speed lever —
+                # core/config.py); Train_* keys finalize to 0
+                new_accum = accum
             new_losses = {
                 "sup": losses["sup"] + metrics["sup_loss"],
                 "q": losses["q"] + metrics["q_loss"],
@@ -752,7 +759,8 @@ def train(
             else:
                 test_data = val_data
     run_window = _make_window_runner(
-        step_fn, protocol, family, mesh=mesh, process_sharded=proc_sharded
+        step_fn, protocol, family, mesh=mesh, process_sharded=proc_sharded,
+        train_metrics=m_cfg.train_metrics,
     )
 
     # ---- warmup eval (reference does one pre-training eval; logged here

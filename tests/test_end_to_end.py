@@ -198,3 +198,19 @@ def test_raw_val_file_eval_path(tmp_path):
         cfg_buf, train_buf=train_buf, val_buf=EvalBuffer.from_dataframe(win)
     )
     assert out_raw.test_metrics == out_buf.test_metrics
+
+
+def test_train_metrics_off_speed_lever(tmp_path):
+    """metrics.train_metrics=false skips the per-batch train-metric
+    accumulation: Train_* keys log 0, Val/Test metrics and the best-model
+    selection are IDENTICAL (the accumulation never feeds the optimizer)."""
+    train_buf, val_buf = _buffers()
+    on = train(_cfg(tmp_path / "on", epochs=1), train_buf=train_buf, val_buf=val_buf)
+    cfg_off = _cfg(tmp_path / "off", epochs=1)
+    cfg_off.metrics.train_metrics = False
+    off = train(cfg_off, train_buf=train_buf, val_buf=val_buf)
+    assert off.logs[-1]["Train_HR@10"] == 0.0
+    assert on.logs[-1]["Train_HR@10"] > 0.0
+    for k in ("Val_HR@10", "Val_NDCG@10", "Supervised Train Loss"):
+        np.testing.assert_allclose(off.logs[-1][k], on.logs[-1][k], rtol=1e-6)
+    np.testing.assert_allclose(off.best_metric, on.best_metric, rtol=1e-6)
