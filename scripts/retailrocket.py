@@ -309,6 +309,7 @@ def run(args) -> None:
             topk_div=1,
             div_emb_dir=div_emb_path,
             require_div_emb=(args.family == "smorl"),
+            train_metrics=not getattr(args, "no_train_metrics", False),
             unpopular_actions_path=os.path.join(
                 args.buffers, "unpopular_items.json"
             ),
@@ -383,6 +384,10 @@ def main() -> None:
                    help="epoch checkpoints + resume under <out>/ckpt (retry-safe "
                         "long runs on a flaky link)")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--no-train-metrics", action="store_true",
+                   help="skip per-batch train-metric accumulation "
+                        "(metrics.train_metrics=false — ~6x in-loop at the "
+                        "paper catalog; Train_* keys log 0)")
     r.add_argument("--div-emb", default=None,
                    help="frozen diversity-embedding export for smorl "
                         "(embedding_weights.npy from a gru4rec leg); "
