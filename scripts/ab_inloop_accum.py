@@ -74,6 +74,10 @@ def main():
     ap.add_argument("--family", default="sqn")
     ap.add_argument("--catalog", type=int, default=72475)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--eval-precision", default=None,
+                    choices=[None, "highest", "high", "default"],
+                    help="MXU precision of the accumulation's head pass "
+                         "(None = exact-fp32 parity default)")
     args = ap.parse_args()
 
     from ikea_recommender_tpu.core.config import DataConfig, TrainConfig
@@ -101,6 +105,7 @@ def main():
             rs.randn(args.catalog + 1, 64).astype(np.float32)
         ),
         unpopular_mask=jnp.asarray(np.arange(args.catalog) % 5 == 0),
+        eval_precision=args.eval_precision,
     )
 
     # ---- arm A: bare step (state-only checksum) --------------------------
