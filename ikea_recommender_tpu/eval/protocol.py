@@ -42,7 +42,6 @@ from ikea_recommender_tpu.models.families import (
     apply_model,
 )
 from ikea_recommender_tpu.ops.coverage import (
-    coverage_ratios,
     init_coverage,
     update_coverage_from_topk,
 )
@@ -144,6 +143,7 @@ class EvalProtocol:
         if unpopular_mask is None:
             unpopular_mask = jnp.zeros((self.num_actions,), dtype=bool)
         self.unpopular_mask = jnp.asarray(unpopular_mask)
+        self._unpop_host = np.asarray(unpopular_mask)  # finalize, no readback
         self.out_to_in = None if out_to_in is None else jnp.asarray(out_to_in)
 
         # Fused (blockwise / sharded) eval: one head+top-k+CE scan replaces
@@ -304,11 +304,19 @@ class EvalProtocol:
 
     # -- normalization -----------------------------------------------------
     def finalize(self, accum: EvalAccum) -> EvalResult:
+        # ONE host transfer for the whole accumulator: every int()/float()/
+        # np.asarray below would otherwise be its own device readback —
+        # ~15-25 synchronous round-trips per eval point (real cost on the
+        # tunneled chip, and extra syncs on any deployment).
+        accum = jax.device_get(accum)
         n = max(int(accum.n_samples), 1)
         n_b = max(int(accum.n_batches), 1)
-        unpop_cov, all_cov = coverage_ratios(
-            accum.covered, self.unpopular_mask, self.num_actions
-        )
+        # coverage_ratios semantics (ops/coverage.py) on the host copy
+        covered = np.asarray(accum.covered)
+        unpop = self._unpop_host
+        n_unpop = max(int(unpop.sum()), 1)
+        unpop_cov = (covered & unpop[None, :]).sum(axis=1) / n_unpop
+        all_cov = covered.sum(axis=1) / self.num_actions
         coverage = {
             k: (float(unpop_cov[i]), float(all_cov[i]))
             for i, k in enumerate(self.topk_cov)
