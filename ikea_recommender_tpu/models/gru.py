@@ -124,7 +124,10 @@ def gru_layer_apply(
         # Measured regime rule (scripts/bench_gru_regime.py on the real
         # v5e, docs/performance.md): the Pallas kernel's VMEM-pinning wins
         # for long sequences (~25-35% at T>=50..200, H<=256) and loses at
-        # short T; its backward exceeds VMEM at H=512.
+        # short T. At H=512 it now COMPILES at every T (r5 H-aware tiles)
+        # but measures 1.3-1.5x slower: the backward's 9.4MB weight-
+        # resident working set forces batch tiles too small to feed the
+        # MXU, so XLA keeps H=512.
         H = params["wh"].shape[0]
         scan_impl = "pallas" if (T * H >= 12800 and H <= 256) else "xla"
     if scan_impl == "pallas":

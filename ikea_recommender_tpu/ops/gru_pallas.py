@@ -51,8 +51,19 @@ def _batch_tile(B: int, H: int, backward: bool = False) -> int:
     H=512, T>=50 (docs/performance.md r3 regime table) — now it tiles
     down instead."""
     fixed = (3 if backward else 1) * H * 3 * H * 4
-    per_row = (18 if backward else 11) * H * 4
-    budget = 14 * 1024 * 1024
+    # backward per-row: double-buffered streamed blocks (xw 6H, y_prev 2H,
+    # gy 2H, dxw 6H) + dh carry H + the kernel-stack temporaries Mosaic
+    # keeps live across the matmuls (hw, dxw_t, dhw — 9H). The r4 estimate
+    # (18H) missed the stack temporaries and still OOMed the 16MB scoped
+    # limit at H=512/T=200 (measured 17.92MB at BT=128 ⇒ ~34H/row); 36H
+    # matches measurement with slack and only changes the chosen tile at
+    # H>=512.
+    per_row = (36 if backward else 11) * H * 4
+    # Backward budget is tighter still: measured scoped usage varies with T
+    # (Mosaic buffered 16.64M at H=512/BT=64/T=50 but fit the same tile at
+    # T=200), so leave ~3MB slack — at H=512 this picks BT=32, and leaves
+    # every H<=256 tile where the r4 regime table measured it.
+    budget = (13 if backward else 14) * 1024 * 1024
     best = None
     for bt in (512, 256, 128, 64, 32, 16, 8):
         if bt <= B and B % bt == 0:
@@ -94,7 +105,7 @@ def _fwd_kernel(xw_ref, wh_ref, bh_ref, m_ref, y_ref, hfin_ref, h_ref):
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
     cand = (1.0 - z) * n + z * h
-    h_new = jnp.where(m_ref[0, 0][:, None] > 0, cand, h)
+    h_new = jnp.where(m_ref[0] > 0, cand, h)
     h_ref[:] = h_new
     y_ref[0] = h_new.astype(y_ref.dtype)
 
@@ -116,7 +127,7 @@ def _forward(xw_tm: jax.Array, wh: jax.Array, bh: jax.Array, mask_tm: jax.Array)
             pl.BlockSpec((1, BT, H3), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, BT), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, 1), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, BT, H), lambda i, t: (t, i, 0), memory_space=pltpu.VMEM),
@@ -180,7 +191,7 @@ def _bwd_kernel(
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
 
-    m = m_ref[0, 0][:, None]  # (BT, 1)
+    m = m_ref[0]  # (BT, 1)
     dh_t = dh * m
     dh_skip = dh * (1.0 - m)
 
@@ -225,7 +236,7 @@ def _backward(xw_tm, wh, bh, mask_tm, y_tm, gy_tm, g_hfin):
             pl.BlockSpec((1, BT, H3), lambda i, t: (T - 1 - t, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, H3), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, BT), lambda i, t: (T - 1 - t, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, 1), lambda i, t: (T - 1 - t, i, 0), memory_space=pltpu.VMEM),
             # h_{t-1} = y[ta - 1] (clamped; value replaced by zeros at ta=0)
             pl.BlockSpec(
                 (1, BT, H),
@@ -302,11 +313,12 @@ def gru_scan_pallas(
         xw = jnp.flip(xw, axis=1)
         mask = jnp.flip(mask, axis=1)
     xw_tm = jnp.swapaxes(xw, 0, 1)  # (T, B, 3H)
-    # (T, 8, B): mask replicated across 8 sublanes so its Pallas blocks
-    # (1, 8, BT) satisfy TPU tiling; ~32B/sample overhead, fully streamed.
-    mask_tm = jnp.broadcast_to(
-        jnp.swapaxes(mask, 0, 1)[:, None, :], (T, 8, B)
-    )
+    # (T, B, 1): trailing length-1 dim EQUALS the full array dim, so any
+    # batch tile divisible by 8 is legal (the r4 (T, 8, B) layout forced
+    # BT % 128 == 0, which blocked the small tiles the H=512 backward
+    # needs); each (1, BT, 1) block pads to 128 lanes in VMEM — still
+    # tiny (~BT*512B) and fully streamed.
+    mask_tm = jnp.swapaxes(mask, 0, 1)[:, :, None]
     y_tm, hfin = _gru_scan_fused(xw_tm, wh, bh, mask_tm)
     y = jnp.swapaxes(y_tm, 0, 1)
     if reverse:
