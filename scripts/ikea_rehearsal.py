@@ -216,21 +216,23 @@ def run(args) -> None:
                 args.buffers, "output_tokenizer.json"
             ),
         ),
-        # the IKEA template operating point (exp_adam_SMORL-64: batch 256,
-        # emb/hidden 64, lr 0.01, fractional eval_at)
+        # the IKEA-final operating point (reference experiments/IKEA/
+        # final_experiments/SMORL-paper.yaml:22-51: batch 256, val batch
+        # 5000, emb/hidden 64, lr 0.0005, gamma 0.5, 8 epochs, eval at 4
+        # points/epoch, HR/NDCG ks {1,6,12}, Val_NDCG@12 selection)
         train=TrainConfig(
             model=args.family,
             batch_size=256,
-            val_batch_size=2000,
+            val_batch_size=5000,
             epochs=args.epochs,
-            learning_rate=0.01,
+            learning_rate=getattr(args, "lr", 0.0005),
             embedding_size=64,
             hidden_state_size=64,
             state_size=meta["state_len"],
             gamma=0.5,
-            alpha=1.0,
+            alpha=getattr(args, "alpha", 1.0),
             q_weights=[1.0, 1.0, 1.0],
-            best_model_metric="Val_NDCG@10",
+            best_model_metric="Val_NDCG@12",
             eval_at=[0.25, 0.5, 0.75, 1.0],
             padding_id=meta["padding_id"],
             preset=preset,
@@ -242,7 +244,7 @@ def run(args) -> None:
             resume=bool(getattr(args, "checkpoint", False)),
         ),
         metrics=MetricsConfig(
-            topk_hr_ndcg=[10, 20],
+            topk_hr_ndcg=[1, 6, 12],
             topk_cov=[1, 5, 10, 20],
             topk_div=1,
             div_emb_dir=div_emb_path,
@@ -307,7 +309,11 @@ def main() -> None:
     r.add_argument("--buffers", required=True)
     r.add_argument("--family", default="gru4rec",
                    choices=["gru4rec", "sqn", "smorl", "sarm"])
-    r.add_argument("--epochs", type=int, default=10)
+    r.add_argument("--epochs", type=int, default=8)
+    r.add_argument("--lr", type=float, default=0.0005,
+                   help="IKEA-final default (SMORL-paper.yaml:25)")
+    r.add_argument("--alpha", type=float, default=1.0,
+                   help="Q-loss weight; 0 = pure supervised bisect arm")
     r.add_argument("--preset", default=None, choices=["fast", "reference"])
     r.add_argument("--checkpoint", action="store_true")
     r.add_argument("--div-emb", default=None)
@@ -316,6 +322,15 @@ def main() -> None:
     r.set_defaults(fn=run)
 
     args = p.parse_args()
+    # record the exact invocation next to the output (see retailrocket.py:
+    # the unrecorded r4 synth parameters cost a parameter search in r5)
+    out = getattr(args, "out", None)
+    if out:
+        os.makedirs(out, exist_ok=True)
+        rec = {k: v for k, v in vars(args).items() if k != "fn"}
+        rec["argv"] = sys.argv
+        with open(os.path.join(out, f"command_{args.cmd}.json"), "w") as fh:
+            json.dump(rec, fh, indent=2)
     args.fn(args)
 
 

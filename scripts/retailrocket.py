@@ -396,6 +396,19 @@ def main() -> None:
     r.set_defaults(fn=run)
 
     args = p.parse_args()
+    # Record the exact invocation next to the subcommand's output: the r4
+    # rehearsal's synth parameters were never written down and regenerating
+    # its catalog-72,475 dataset took a parameter search (RESULTS.md r5).
+    out = getattr(args, "out", None)
+    if out:
+        rec_dir = out if os.path.splitext(out)[1] == "" else os.path.dirname(
+            os.path.abspath(out))
+        os.makedirs(rec_dir or ".", exist_ok=True)
+        rec = {k: v for k, v in vars(args).items() if k != "fn"}
+        rec["argv"] = sys.argv
+        with open(os.path.join(rec_dir, f"command_{args.cmd}.json"),
+                  "w") as fh:
+            json.dump(rec, fh, indent=2)
     args.fn(args)
 
 
