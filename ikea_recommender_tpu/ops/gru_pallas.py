@@ -56,13 +56,16 @@ def _batch_tile(B: int, H: int, backward: bool = False) -> int:
     # keeps live across the matmuls (hw, dxw_t, dhw — 9H). The r4 estimate
     # (18H) missed the stack temporaries and still OOMed the 16MB scoped
     # limit at H=512/T=200 (measured 17.92MB at BT=128 ⇒ ~34H/row); 36H
-    # matches measurement with slack and only changes the chosen tile at
-    # H>=512.
+    # matches measurement with slack.
     per_row = (36 if backward else 11) * H * 4
     # Backward budget is tighter still: measured scoped usage varies with T
     # (Mosaic buffered 16.64M at H=512/BT=64/T=50 but fit the same tile at
-    # T=200), so leave ~3MB slack — at H=512 this picks BT=32, and leaves
-    # every H<=256 tile where the r4 regime table measured it.
+    # T=200), so leave ~3MB slack. Effect on chosen tiles: H=512 drops to
+    # BT=32; every B=256 tile the r4 regime table measured is unchanged;
+    # B>=512 backward tiles at H in (160, 256] halve vs the r4 math — which
+    # under the measured ~34H/row would have exceeded 16MB there anyway
+    # (e.g. B=512/H=256: 2.36M + 512*34*256*4 ≈ 20M), so the r4 tile was a
+    # latent OOM, never hit because no shipped config runs batch >= 512.
     budget = (13 if backward else 14) * 1024 * 1024
     best = None
     for bt in (512, 256, 128, 64, 32, 16, 8):

@@ -14,9 +14,13 @@ Protocol:
     python scripts/ikea_rehearsal.py synth   --out /tmp/ikea --sessions 300000
     python scripts/ikea_rehearsal.py buffers --data /tmp/ikea --out /tmp/ikea/buffers
     python scripts/ikea_rehearsal.py run --buffers /tmp/ikea/buffers \
-        --family gru4rec --epochs 10 --out /tmp/ikea/runs/gru4rec
+        --family gru4rec --epochs 8 --out /tmp/ikea/runs/gru4rec
     python scripts/ikea_rehearsal.py run --buffers /tmp/ikea/buffers \
-        --family smorl --epochs 10 --out /tmp/ikea/runs/smorl
+        --family smorl --epochs 8 --lr 0.01 --out /tmp/ikea/runs/smorl
+
+The smorl leg needs ``--lr 0.01``: at the IKEA yaml's default 0.0005 the
+3-objective Q-gradient keeps the supervised head at chance level for the
+whole run (RESULTS.md r5 "scale-exposed finding").
 """
 
 from __future__ import annotations
@@ -311,7 +315,10 @@ def main() -> None:
                    choices=["gru4rec", "sqn", "smorl", "sarm"])
     r.add_argument("--epochs", type=int, default=8)
     r.add_argument("--lr", type=float, default=0.0005,
-                   help="IKEA-final default (SMORL-paper.yaml:25)")
+                   help="IKEA-final default (SMORL-paper.yaml:25). For "
+                        "smorl use 0.01: at 0.0005 the 3-objective "
+                        "Q-gradient keeps the supervised head at chance "
+                        "(RESULTS.md r5)")
     r.add_argument("--alpha", type=float, default=1.0,
                    help="Q-loss weight; 0 = pure supervised bisect arm")
     r.add_argument("--preset", default=None, choices=["fast", "reference"])
@@ -322,15 +329,12 @@ def main() -> None:
     r.set_defaults(fn=run)
 
     args = p.parse_args()
-    # record the exact invocation next to the output (see retailrocket.py:
-    # the unrecorded r4 synth parameters cost a parameter search in r5)
+    from ikea_recommender_tpu.utils.invocation import record_invocation
+
+    # every subcommand's --out here is a directory
     out = getattr(args, "out", None)
     if out:
-        os.makedirs(out, exist_ok=True)
-        rec = {k: v for k, v in vars(args).items() if k != "fn"}
-        rec["argv"] = sys.argv
-        with open(os.path.join(out, f"command_{args.cmd}.json"), "w") as fh:
-            json.dump(rec, fh, indent=2)
+        record_invocation(args, out)
     args.fn(args)
 
 

@@ -396,19 +396,17 @@ def main() -> None:
     r.set_defaults(fn=run)
 
     args = p.parse_args()
-    # Record the exact invocation next to the subcommand's output: the r4
-    # rehearsal's synth parameters were never written down and regenerating
-    # its catalog-72,475 dataset took a parameter search (RESULTS.md r5).
+    from ikea_recommender_tpu.utils.invocation import record_invocation
+
+    # synth's --out is a FILE (events.csv); every other subcommand's is a
+    # directory — stated per-subcommand, not guessed from the path shape.
     out = getattr(args, "out", None)
     if out:
-        rec_dir = out if os.path.splitext(out)[1] == "" else os.path.dirname(
-            os.path.abspath(out))
-        os.makedirs(rec_dir or ".", exist_ok=True)
-        rec = {k: v for k, v in vars(args).items() if k != "fn"}
-        rec["argv"] = sys.argv
-        with open(os.path.join(rec_dir, f"command_{args.cmd}.json"),
-                  "w") as fh:
-            json.dump(rec, fh, indent=2)
+        record_invocation(
+            args,
+            os.path.dirname(os.path.abspath(out)) if args.cmd == "synth"
+            else out,
+        )
     args.fn(args)
 
 
