@@ -251,7 +251,7 @@ def detail():
             file=sys.stderr,
         )
     lines = [
-        "# BENCH detail (honest scan+readback methodology — see bench.py)",
+        "## Generated full table (one process, one window)",
         "",
         "Single v5e chip via the axon tunnel; RetailRocket operating point",
         "(catalog 70852, batch 256, state_len 10, emb/hidden 64, fp32 params).",
@@ -263,8 +263,16 @@ def detail():
     ]
     for model, label, sps, us in rows:
         lines.append(f"| {model} | {label} | {sps:,.0f} | {us:,.1f} |")
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.md"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+    # Replace only the generated section; the narrative notes above the
+    # marker (drift analysis, within-process A/B records) are hand-written.
+    path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.md")
+    marker = "<!-- generated-table -->"
+    try:
+        head = open(path).read().split(marker)[0].rstrip() + "\n\n"
+    except FileNotFoundError:
+        head = "# BENCH detail (honest scan+readback methodology — see bench.py)\n\n"
+    with open(path, "w") as fh:
+        fh.write(head + marker + "\n\n" + "\n".join(lines) + "\n")
     return rows
 
 
